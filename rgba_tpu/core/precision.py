@@ -1,0 +1,45 @@
+"""Dtype policy: fp32 parameters, optionally bf16 activations.
+
+The reference instantiates a CUDA GradScaler it never uses
+(trainRGB.py:157); on TPU the idiomatic equivalent is straight bf16 compute
+with fp32 parameters and fp32 entropy/likelihood math — no loss scaling.
+
+``precision`` matters on TPU: fp32 convs/dots default to bf16 MXU passes
+(Precision.DEFAULT).  The fp32 parity policy therefore pins HIGHEST; the
+bf16 speed policy keeps DEFAULT (inputs are already bf16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    param_dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.float32   # set bfloat16 for TPU speed
+    entropy_dtype: Any = jnp.float32   # likelihood math stays fp32
+    precision: Any = jax.lax.Precision.HIGHEST
+
+    def cast_in(self, x):
+        return x.astype(self.compute_dtype)
+
+    def cast_entropy(self, x):
+        return x.astype(self.entropy_dtype)
+
+
+DEFAULT_POLICY = Policy()
+BF16_POLICY = Policy(compute_dtype=jnp.bfloat16,
+                     precision=jax.lax.Precision.DEFAULT)
+
+
+def policy_from_str(name: str) -> Policy:
+    if name in ("bfloat16", "bf16"):
+        return BF16_POLICY
+    if name in ("float32", "fp32"):
+        return DEFAULT_POLICY
+    raise ValueError(f"unknown compute dtype: {name}")

@@ -1,0 +1,66 @@
+"""Generalized Divisive Normalization (GDN / IGDN).
+
+y_i = x_i / sqrt(beta_i + sum_j gamma_{ji} x_j^2)   (inverse multiplies)
+
+Reference: layers/GDN.py:26-94. beta/gamma are stored through a sqrt
+reparameterization with pedestal 2^-36 and lower-bounded via the
+gradient-gated ``lower_bound`` (layers/GDN.py:9-23,46-61,73-79).
+
+TPU notes: the "norm pool" is a 1x1 conv of x^2 — a pure MXU matmul over the
+channel dim; XLA fuses square/rsqrt/multiply around it, so the default path
+is already one fused HBM pass. Entropy-critical, so accumulation is fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.precision import Policy, DEFAULT_POLICY
+from .math import lower_bound
+
+_REPARAM_OFFSET = 2.0 ** -18
+_PEDESTAL = _REPARAM_OFFSET ** 2
+
+
+class GDN(nn.Module):
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+
+        def beta_init(key, shape, dtype):
+            return jnp.sqrt(jnp.ones(shape, dtype) + _PEDESTAL)
+
+        def gamma_init(key, shape, dtype):
+            g = self.gamma_init * jnp.eye(ch, dtype=dtype) + _PEDESTAL
+            return jnp.sqrt(g)
+
+        beta = self.param("beta", beta_init, (ch,), self.policy.param_dtype)
+        gamma = self.param("gamma", gamma_init, (ch, ch), self.policy.param_dtype)
+
+        beta_bound = (self.beta_min + _PEDESTAL) ** 0.5
+        beta = lower_bound(beta, beta_bound) ** 2 - _PEDESTAL
+        gamma = lower_bound(gamma, _REPARAM_OFFSET) ** 2 - _PEDESTAL
+
+        # norm pool: (x^2) @ gamma  with gamma[j, i] weighting input ch j
+        # -> output ch i (torch conv2d with weight gamma.view(ch, ch, 1, 1)
+        #    computes out_i = sum_j gamma[i, j] x_j^2; our gamma matmul uses
+        #    x2 @ gamma^T to match torch's (out,in) convention).
+        dtype = self.policy.compute_dtype
+        x2 = jnp.square(x.astype(dtype))
+        norm = jnp.einsum(
+            "bhwj,ij->bhwi", x2, gamma.astype(dtype),
+            preferred_element_type=jnp.float32,
+            precision=self.policy.precision,
+        ) + beta.astype(jnp.float32)
+        if self.inverse:
+            out = x.astype(jnp.float32) * jnp.sqrt(norm)
+        else:
+            out = x.astype(jnp.float32) * jax.lax.rsqrt(norm)
+        return out.astype(dtype)
