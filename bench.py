@@ -1,0 +1,77 @@
+"""Benchmark: Kodak-shaped RGBA eval throughput on one TPU chip.
+
+Measures the same work the reference times at eval (trainRGB.py:281-291):
+mask pyramid + mask codec forward + RGB codec forward (entropy coding
+excluded), on full-size Kodak geometry (768x512), batched for throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rgba_tpu.core.precision import BF16_POLICY
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.models.pipeline import RGBAPipeline
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    height, width = 512, 768
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    model = RGBAPipeline(policy=BF16_POLICY)
+    data = synthetic_rgba_batch(batch, height, width, seed=0)
+    x = jnp.asarray(data["masked_image"])
+    mask = jnp.asarray(data["alpha"])
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "noise": rng}, x[:1], mask[:1],
+                        training=False)["params"]
+
+    @jax.jit
+    def eval_step(p, x, mask):
+        out = model.apply({"params": p}, x, mask, training=False)
+        return out["x_hat"], out["bpp"]
+
+    # warmup/compile
+    xh, bpp = eval_step(params, x, mask)
+    xh.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        xh, bpp = eval_step(params, x, mask)
+    xh.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+
+    vs_baseline = 1.0
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+            published = json.load(f).get("published", {})
+        ref = published.get("images_per_sec")
+        if ref:
+            vs_baseline = images_per_sec / float(ref)
+    except Exception:  # noqa: BLE001
+        pass
+
+    print(json.dumps({
+        "metric": "kodak_rgba_eval_forward_throughput",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Kodak RGBA evaluation — the metric-producing path (testKodak,
+trainRGB.py:258-334).
+
+Per image: mask pyramid + mask codec forward -> clamp -> 8-bit round ->
+constraint() -> RGB codec forward -> clamp; metrics Time / Bpp / PSNR /
+MS-SSIM / MS-SSIM-DB with the reference's accounting (mask bpp added only
+when the mask is not all-ones; PSNR from the masked MSE; MS-SSIM between
+masked input and reconstruction; timing around the two forwards).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import KodakDataset
+from ..metrics.ms_ssim import ms_ssim
+from ..ops.mask_pyramid import mask_pyramid
+from ..ops.morphology import constraint_rgb
+
+logger = logging.getLogger("rgba_tpu")
+
+
+def _save_rgba(path: str, rgb: np.ndarray, alpha: Optional[np.ndarray]):
+    from PIL import Image
+    rgb8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+    if alpha is not None:
+        a8 = (np.clip(alpha, 0, 1) * 255).astype(np.uint8)
+        arr = np.concatenate([rgb8, a8], axis=-1)
+        Image.fromarray(arr, "RGBA").save(path)
+    else:
+        Image.fromarray(rgb8, "RGB").save(path)
+
+
+def make_eval_step(rgb_model, mask_model):
+    """One jitted eval pass over a single image (both codecs)."""
+
+    def step(rgb_params, mask_params, masked_input, mask):
+        me = mask_pyramid(mask)
+        m = mask_model.apply({"params": mask_params}, mask, training=False)
+        recon_mask = jnp.clip(m["x_hat"], 0.0, 1.0)
+        recon_mask = jnp.round(recon_mask * 255.0) / 255.0
+        recon_mask = constraint_rgb(recon_mask)
+        r = rgb_model.apply({"params": rgb_params}, masked_input, mask,
+                            recon_mask, me, training=False)
+        x_hat = jnp.clip(r["x_hat"], 0.0, 1.0)
+        opaque = jnp.all(mask == 1.0)
+        bpp = r["bpp"] + jnp.where(opaque, 0.0, m["bpp"])
+        msssim = ms_ssim(masked_input, x_hat, data_range=1.0)
+        return {
+            "x_hat": x_hat,
+            "recon_mask": recon_mask,
+            "mse": r["mse_loss"],
+            "bpp": bpp,
+            "bpp_rgb": r["bpp"],
+            "bpp_mask": m["bpp"],
+            "msssim": msssim,
+        }
+
+    return jax.jit(step)
+
+
+def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
+                   rootpath: str, output_dir: Optional[str] = None,
+                   step: int = 0, tb_writer=None) -> dict:
+    ds = KodakDataset(rootpath)
+    eval_step = make_eval_step(rgb_model, mask_model)
+    sums = {k: 0.0 for k in ("bpp", "psnr", "msssim", "msssimdb", "time")}
+    n = len(ds)
+    for i in range(n):
+        item = ds.get(i)
+        masked_input = jnp.asarray(item["masked_image"][None])
+        mask = jnp.asarray(item["alpha"][None])
+        t0 = time.perf_counter()
+        out = eval_step(rgb_params, mask_params, masked_input, mask)
+        out = jax.device_get(out)
+        t1 = time.perf_counter()
+
+        mse = float(out["mse"])
+        bpp = float(out["bpp"])
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        msssim = float(out["msssim"])
+        msssimdb = -10 * np.log10(max(1 - msssim, 1e-12))
+        tim = t1 - t0
+        for k, v in (("bpp", bpp), ("psnr", psnr), ("msssim", msssim),
+                     ("msssimdb", msssimdb), ("time", tim)):
+            sums[k] += v
+        logger.info(
+            "Time:{:.6f}, Num:{:d}, Bpp:{:.6f}, PSNR:{:.6f}, MS-SSIM:{:.6f}, "
+            "MS-SSIM-DB:{:.6f}".format(tim, i + 1, bpp, psnr, msssim,
+                                       msssimdb))
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            _save_rgba(os.path.join(output_dir, f"{i + 1}img.png"),
+                       out["x_hat"][0], out["recon_mask"][0])
+
+    avg = {k: v / max(n, 1) for k, v in sums.items()}
+    logger.info(
+        "Dataset Average result---Time:{time:.6f}, Bpp:{bpp:.6f}, "
+        "PSNR:{psnr:.6f}, MS-SSIM:{msssim:.6f}, MS-SSIM-DB:{msssimdb:.6f}"
+        .format(**avg))
+    if tb_writer is not None:
+        tb_writer.add_scalar("BPP_Test", avg["bpp"], step)
+        tb_writer.add_scalar("PSNR_Test", avg["psnr"], step)
+        tb_writer.add_scalar("MS-SSIM_Test", avg["msssim"], step)
+        tb_writer.add_scalar("MS-SSIM_DB_Test", avg["msssimdb"], step)
+    return avg
