@@ -21,10 +21,14 @@ from ..train.loops import MaskTrainer
 from .common import build_parser, load_params_if, make_tb_writer, setup_logging
 
 
-def evaluate_mask(model, params, rootpath, logger, step=0, tb=None):
+def evaluate_mask(model, params, rootpath, logger, step=0, tb=None,
+                  output_dir=""):
     """Mask-only Kodak eval (trainmask.py:242-293): bpp estimated from
-    likelihoods, recon rounded to 8-bit + constraint, PSNR on the mask."""
+    likelihoods; recon rounded with round(x*255, decimals=1).clamp/255
+    (:260-261), neighbor-sum constraint (:262), PSNR + MS-SSIM on the
+    1-channel mask (:264-277)."""
     import jax.numpy as jnp
+    from ..metrics.ms_ssim import ms_ssim
     from ..ops.morphology import constraint_mask
 
     ds = KodakDataset(rootpath)
@@ -32,29 +36,45 @@ def evaluate_mask(model, params, rootpath, logger, step=0, tb=None):
     @jax.jit
     def eval_step(p, mask):
         out = model.apply({"params": p}, mask, training=False)
-        recon = jnp.clip(out["x_hat"], 0.0, 1.0)
-        recon = jnp.round(recon * 255.0) / 255.0
+        recon = jnp.clip(jnp.round(out["x_hat"] * 255.0, decimals=1),
+                         0.0, 255.0) / 255.0
         recon = constraint_mask(recon)
         mse = jnp.mean(jnp.square(recon - mask))
-        return {"bpp": out["bpp"], "mse": mse}
+        msssim = ms_ssim(mask, recon, data_range=1.0)
+        return {"bpp": out["bpp"], "mse": mse, "msssim": msssim,
+                "recon": recon}
 
-    sums = {"bpp": 0.0, "psnr": 0.0}
+    sums = {"bpp": 0.0, "psnr": 0.0, "msssim": 0.0, "msssimdb": 0.0}
     for i in range(len(ds)):
         item = ds.get(i)
         mask = jnp.asarray(item["alpha"][None])
         out = jax.device_get(eval_step(params, mask))
         psnr = 10 * np.log10(1.0 / max(float(out["mse"]), 1e-12))
+        msssim = float(out["msssim"])
+        msssimdb = -10 * np.log10(max(1 - msssim, 1e-12))
         sums["bpp"] += float(out["bpp"])
         sums["psnr"] += psnr
-        logger.info("Num:%d, Bpp:%.6f, PSNR:%.6f", i + 1, float(out["bpp"]),
-                    psnr)
+        sums["msssim"] += msssim
+        sums["msssimdb"] += msssimdb
+        logger.info("Num:%d, Bpp:%.6f, PSNR:%.6f, MS-SSIM:%.6f, "
+                    "MS-SSIM-DB:%.6f", i + 1, float(out["bpp"]), psnr,
+                    msssim, msssimdb)
+        if output_dir:
+            from PIL import Image
+            os.makedirs(output_dir, exist_ok=True)
+            arr = (np.clip(out["recon"][0, ..., 0], 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(arr, "L").save(
+                os.path.join(output_dir, f"{i + 1}mask.png"))
     n = max(len(ds), 1)
     avg = {k: v / n for k, v in sums.items()}
-    logger.info("Dataset Average result---Bpp:%.6f, PSNR:%.6f",
-                avg["bpp"], avg["psnr"])
+    logger.info("Dataset Average result---Bpp:%.6f, PSNR:%.6f, "
+                "MS-SSIM:%.6f, MS-SSIM-DB:%.6f", avg["bpp"], avg["psnr"],
+                avg["msssim"], avg["msssimdb"])
     if tb is not None:
         tb.add_scalar("BPP_Test", avg["bpp"], step)
         tb.add_scalar("PSNR_Test", avg["psnr"], step)
+        tb.add_scalar("MS-SSIM_Test", avg["msssim"], step)
+        tb.add_scalar("MS-SSIM_DB_Test", avg["msssimdb"], step)
     return avg
 
 

@@ -116,18 +116,19 @@ class RGBATrainDataset:
 
 
 class KodakDataset:
-    """Eval tree: <root>/PNGImages/<id>.png, <root>/MaskImages/<id>.png,
+    """Eval tree: <root>/PNGImages/<id>.<ext>, <root>/MaskImages/<id>.png,
     ids from <root>/ImageSets/mask.txt (make_datapath_list_for_Kodak,
-    MYdataset.py:12-31)."""
+    MYdataset.py:12-31).  img_ext="jpg" gives the P3M-500 eval layout
+    (make_datapath_list_for_P3Meval, MYdataset.py:33-52)."""
 
-    def __init__(self, rootpath: str):
+    def __init__(self, rootpath: str, img_ext: str = "png"):
         ids = []
         with open(os.path.join(rootpath, "ImageSets", "mask.txt")) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     ids.append(line)
-        self.img_paths = [os.path.join(rootpath, "PNGImages", f"{i}.png")
+        self.img_paths = [os.path.join(rootpath, "PNGImages", f"{i}.{img_ext}")
                           for i in ids]
         self.anno_paths = [os.path.join(rootpath, "MaskImages", f"{i}.png")
                            for i in ids]

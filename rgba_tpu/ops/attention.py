@@ -96,24 +96,28 @@ class MaskedWinBlock(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, alpha):
+    def __call__(self, x, alpha=None):
+        """alpha=None gives the unmasked Swin twin (win_attention.py:118-214,
+        wrapped by the unmasked Win_noShift_Attention in Attention.py:142)."""
         b, h, w, c = x.shape
         ws, ss = self.window_size, self.shift_size
         shortcut = x
 
         if ss > 0:
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
-            alpha = jnp.roll(alpha, shift=(-ss, -ss), axis=(1, 2))
+            if alpha is not None:
+                alpha = jnp.roll(alpha, shift=(-ss, -ss), axis=(1, 2))
 
         x_win = window_partition(x, ws)                 # (B*nW, ws, ws, C)
-        a_win = window_partition(alpha, ws)             # (B*nW, ws, ws, 1)
-        alive = window_alive(a_win)                     # (B*nW,)
 
         bias = swin_attention_bias(h, w, ws, ss) if ss > 0 else None
         tokens = x_win.reshape(-1, ws * ws, c)
         attn = WindowAttention(self.dim, ws, self.num_heads,
                                policy=self.policy, name="attn")(tokens, bias)
-        attn = attn * alive[:, None, None].astype(attn.dtype)
+        if alpha is not None:
+            a_win = window_partition(alpha, ws)         # (B*nW, ws, ws, 1)
+            alive = window_alive(a_win)                 # (B*nW,)
+            attn = attn * alive[:, None, None].astype(attn.dtype)
         out = window_reverse(attn.reshape(-1, ws, ws, c), ws, h, w)
 
         if ss > 0:
@@ -155,7 +159,7 @@ class WinGateAttention(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, alpha):
+    def __call__(self, x, alpha=None):
         a = x
         for i in range(3):
             a = ResidualUnit(self.dim, policy=self.policy, name=f"conv_a{i}")(a)

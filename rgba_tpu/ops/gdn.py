@@ -53,14 +53,21 @@ class GDN(nn.Module):
         #    computes out_i = sum_j gamma[i, j] x_j^2; our gamma matmul uses
         #    x2 @ gamma^T to match torch's (out,in) convention).
         dtype = self.policy.compute_dtype
-        x2 = jnp.square(x.astype(dtype))
+        x = x.astype(dtype)
+        x2 = jnp.square(x)
         norm = jnp.einsum(
             "bhwj,ij->bhwi", x2, gamma.astype(dtype),
             preferred_element_type=jnp.float32,
             precision=self.policy.precision,
         ) + beta.astype(jnp.float32)
+        # fp32 policy: exact sqrt/div; bf16 policy: elementwise tail in bf16
+        # (the einsum still accumulates fp32) — halves HBM traffic of the
+        # three full-res intermediates.
+        if dtype == jnp.float32:
+            if self.inverse:
+                return x * jnp.sqrt(norm)
+            return x * jax.lax.rsqrt(norm)
+        norm = norm.astype(dtype)
         if self.inverse:
-            out = x.astype(jnp.float32) * jnp.sqrt(norm)
-        else:
-            out = x.astype(jnp.float32) * jax.lax.rsqrt(norm)
-        return out.astype(dtype)
+            return x * jnp.sqrt(norm)
+        return x * jax.lax.rsqrt(norm)

@@ -70,16 +70,19 @@ class Trainer:
     """Shared machinery for both codecs."""
 
     def __init__(self, model, cfg: TrainConfig, loss_fn, save_path: str,
-                 mesh=None, snapshot_keep_after: int = 1_495_000):
+                 mesh=None, snapshot_keep_after: int = 1_495_000,
+                 image_dump_dir: str = ""):
         self.model = model
         self.cfg = cfg
         self.save_path = save_path
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
         self.snapshot_keep_after = snapshot_keep_after
+        self.image_dump_dir = image_dump_dir
 
         self.loss_fn = loss_fn
         self.aux_loss_fn = _aux_loss_fn(model)
         self._step_fn = None
+        self._dump_fn = None
 
     def init_state(self, example_batch, seed: Optional[int] = None,
                    params=None, step: int = 0) -> CodecTrainState:
@@ -159,6 +162,8 @@ class Trainer:
                 if step % cfg.snapshot_freq == 0:
                     save_rotating(state.params, self.save_path, step,
                                   cfg.snapshot_freq, self.snapshot_keep_after)
+                    if self.image_dump_dir:
+                        self._dump_images(state, batch, step)
                 if step % cfg.save_model_freq == 0:
                     save_checkpoint(state.params, self.save_path, step)
                     if eval_fn is not None:
@@ -168,6 +173,24 @@ class Trainer:
             epoch += 1
         save_checkpoint(state.params, self.save_path, step)
         return state
+
+
+    def _dump_images(self, state, batch, step):
+        """Periodic recon snapshots like trainRGB.py:240-247 /
+        trainmask.py (every snapshot interval)."""
+        import os
+        from PIL import Image
+        os.makedirs(self.image_dump_dir, exist_ok=True)
+        arrs = self._render_recon(state, batch)
+        for suffix, arr in arrs.items():
+            arr8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            mode = {1: "L", 3: "RGB", 4: "RGBA"}[arr8.shape[-1]]
+            img = arr8[..., 0] if mode == "L" else arr8
+            Image.fromarray(img, mode).save(
+                os.path.join(self.image_dump_dir, f"{step}{suffix}.png"))
+
+    def _render_recon(self, state, batch) -> dict:
+        raise NotImplementedError
 
 
 class MaskTrainer(Trainer):
@@ -181,6 +204,14 @@ class MaskTrainer(Trainer):
             {"params": rng, "noise": rng}, jnp.asarray(batch["alpha"]),
             training=True)
         return variables["params"]
+
+    def _render_recon(self, state, batch):
+        if self._dump_fn is None:
+            self._dump_fn = jax.jit(lambda p, m: jnp.clip(self.model.apply(
+                {"params": p}, m, training=False)["x_hat"], 0, 1))
+        recon = jax.device_get(self._dump_fn(
+            state.params, jnp.asarray(batch["alpha"][:1])))
+        return {"mask": recon[0]}
 
 
 class RGBTrainer(Trainer):
@@ -196,6 +227,20 @@ class RGBTrainer(Trainer):
         variables = self.model.init({"params": rng, "noise": rng},
                                     x, mask, mask, me, training=True)
         return variables["params"]
+
+    def _render_recon(self, state, batch):
+        if self._dump_fn is None:
+            def fwd(p, x, m):
+                me = mask_pyramid(m)
+                out = self.model.apply({"params": p}, x, m, m, me,
+                                       training=False)
+                return jnp.clip(out["x_hat"], 0, 1)
+            self._dump_fn = jax.jit(fwd)
+        x = jnp.asarray(batch["masked_image"][:1])
+        m = jnp.asarray(batch["alpha"][:1])
+        recon = jax.device_get(self._dump_fn(state.params, x, m))
+        rgba = np.concatenate([recon[0], np.asarray(m[0])], axis=-1)
+        return {"image": rgba, "mask": np.asarray(m[0])}
 
     def train(self, loader, state, tb_writer=None, eval_fn=None,
               max_steps=None):

@@ -107,3 +107,23 @@ def test_simplified_attention(rng):
     # gate at sigmoid(conv(0-init final)) keeps output near x + 0.5*trunk;
     # just check it differs from x and is finite
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unmasked_block_matches_all_ones_alpha(rng):
+    """alpha=None (the unmasked twin, win_attention.py) must equal the
+    masked block with an all-ones alpha."""
+    m = MaskedWinBlock(dim=16, num_heads=4, window_size=4, shift_size=2)
+    x = jax.random.normal(rng, (1, 8, 8, 16))
+    ones = jnp.ones((1, 8, 8, 1))
+    params = m.init(rng, x, ones)
+    out_masked = m.apply(params, x, ones)
+    out_plain = m.apply(params, x, None)
+    np.testing.assert_allclose(out_plain, out_masked, rtol=1e-6, atol=1e-6)
+
+
+def test_unmasked_win_gate(rng):
+    m = WinGateAttention(dim=16, num_heads=4, window_size=4, shift_size=0)
+    x = jax.random.normal(rng, (1, 8, 8, 16))
+    params = m.init(rng, x, None)
+    out = m.apply(params, x, None)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()

@@ -71,3 +71,31 @@ def test_pixel_shuffle_matches_torch():
     out = pixel_shuffle(jnp.asarray(x.transpose(0, 2, 3, 1)), 2)
     np.testing.assert_allclose(out.transpose(0, 3, 1, 2), ref,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose_subpixel_path_matches_torch():
+    x = _rand(2, 4, 8, 8)
+    w = np.random.RandomState(7).randn(4, 6, 5, 5).astype(np.float32)
+    b = _rand(6)
+    ref = F.conv_transpose2d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                             stride=2, padding=2, output_padding=1).numpy()
+    m = ConvTranspose(features=6, kernel_size=5, stride=2, use_subpixel=True)
+    params = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 0, 1)),
+                         "bias": jnp.asarray(b)}}
+    out = m.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(out.transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_space_to_depth_path_matches_torch():
+    x = _rand(2, 3, 16, 16)
+    w = np.random.RandomState(8).randn(8, 3, 5, 5).astype(np.float32)
+    b = _rand(8)
+    ref = F.conv2d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                   stride=2, padding=2).numpy()
+    m = Conv(features=8, kernel_size=5, stride=2, use_space_to_depth=True)
+    params = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                         "bias": jnp.asarray(b)}}
+    out = m.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(out.transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-4)
