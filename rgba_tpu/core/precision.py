@@ -24,6 +24,9 @@ class Policy:
     compute_dtype: Any = jnp.float32   # set bfloat16 for TPU speed
     entropy_dtype: Any = jnp.float32   # likelihood math stays fp32
     precision: Any = jax.lax.Precision.HIGHEST
+    # inference-only: route masked window attention through the fused
+    # Pallas kernel (no custom VJP yet — keep False for training)
+    fused_win_attn: bool = False
 
     def cast_in(self, x):
         return x.astype(self.compute_dtype)
@@ -35,6 +38,10 @@ class Policy:
 DEFAULT_POLICY = Policy()
 BF16_POLICY = Policy(compute_dtype=jnp.bfloat16,
                      precision=jax.lax.Precision.DEFAULT)
+# serving: bf16 + fused Pallas attention (inference only)
+SERVE_POLICY = Policy(compute_dtype=jnp.bfloat16,
+                      precision=jax.lax.Precision.DEFAULT,
+                      fused_win_attn=True)
 
 
 def policy_from_str(name: str) -> Policy:
@@ -42,4 +49,6 @@ def policy_from_str(name: str) -> Policy:
         return BF16_POLICY
     if name in ("float32", "fp32"):
         return DEFAULT_POLICY
+    if name in ("serve", "serving"):
+        return SERVE_POLICY
     raise ValueError(f"unknown compute dtype: {name}")

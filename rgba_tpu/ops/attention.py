@@ -24,6 +24,7 @@ from .conv import Conv
 from .window import (
     relative_position_index,
     swin_attention_bias,
+    swin_region_ids,
     window_alive,
     window_partition,
     window_reverse,
@@ -31,7 +32,12 @@ from .window import (
 
 
 class WindowAttention(nn.Module):
-    """W-MSA over (nWB, N, C) token windows with relative-position bias."""
+    """W-MSA over (nWB, N, C) token windows with relative-position bias.
+
+    Parameters are explicit matrices (qkv_kernel/qkv_bias/proj_kernel/
+    proj_bias) so the fused Pallas path can consume them directly; the
+    torch importer maps attn.attn.qkv.weight et al. onto them.
+    """
 
     dim: int
     window_size: int
@@ -39,7 +45,7 @@ class WindowAttention(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, bias=None):
+    def __call__(self, x, bias=None, fused=None):
         nwb, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
@@ -52,32 +58,61 @@ class WindowAttention(nn.Module):
             ((2 * self.window_size - 1) ** 2, nh),
             self.policy.param_dtype,
         )
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv",
-                       param_dtype=self.policy.param_dtype, dtype=dtype,
-                       precision=self.policy.precision)(x)
-        qkv = qkv.reshape(nwb, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]          # (nWB, nh, N, hd)
+        wqkv = self.param("qkv_kernel", nn.initializers.lecun_normal(),
+                          (c, 3 * c), self.policy.param_dtype)
+        bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * c,),
+                          self.policy.param_dtype)
+        wproj = self.param("proj_kernel", nn.initializers.lecun_normal(),
+                           (c, c), self.policy.param_dtype)
+        bproj = self.param("proj_bias", nn.initializers.zeros, (c,),
+                           self.policy.param_dtype)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32,
-                          precision=self.policy.precision)
         rel_idx = relative_position_index(self.window_size)
+
+        if fused is not None:
+            # Pallas kernel path (inference): fused qkv/scores/softmax/PV/
+            # proj/alive-gating in one VMEM-resident pass.
+            from .pallas.win_attn import fused_window_attention
+            region, alive = fused
+            rel_bias = table[rel_idx.reshape(-1)].reshape(n, n, nh)
+            rel_bias = rel_bias.transpose(2, 0, 1).astype(jnp.float32)
+            interpret = jax.default_backend() != "tpu"
+            return fused_window_attention(
+                x.astype(dtype), region, alive,
+                wqkv.astype(dtype), bqkv.astype(jnp.float32),
+                wproj.astype(dtype), bproj.astype(jnp.float32),
+                rel_bias, num_heads=nh, interpret=interpret)
+
+        qkv = jnp.einsum("wnc,cd->wnd", x.astype(dtype), wqkv.astype(dtype),
+                         precision=self.policy.precision) + bqkv.astype(dtype)
+        # heads stay in trailing dims (no 5-D transpose; einsum handles the
+        # head batching) — verified numerically identical to the
+        # transpose-based layout, measurably faster on TPU
+        q = qkv[..., :c].reshape(nwb, n, nh, hd)
+        k = qkv[..., c:2 * c].reshape(nwb, n, nh, hd)
+        v = qkv[..., 2 * c:].reshape(nwb, n, nh, hd)
+
+        # fp32 parity mode accumulates scores in fp32 on the MXU; bf16 speed
+        # mode keeps scores bf16 (softmax itself still reduces in fp32)
+        score_dtype = jnp.float32 if dtype == jnp.float32 else dtype
+        attn = jnp.einsum("wnhd,wmhd->whnm", q * scale, k,
+                          preferred_element_type=score_dtype,
+                          precision=self.policy.precision)
         rel_bias = table[rel_idx.reshape(-1)].reshape(n, n, nh)
-        attn = attn + rel_bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+        attn = attn + rel_bias.transpose(2, 0, 1)[None].astype(score_dtype)
         if bias is not None:
             # bias: (nW, N, N) per-window additive mask, tiled over batch
             nw = bias.shape[0]
             attn = attn.reshape(nwb // nw, nw, nh, n, n) + \
-                bias[None, :, None].astype(jnp.float32)
+                bias[None, :, None].astype(score_dtype)
             attn = attn.reshape(nwb, nh, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32,
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
+        out = jnp.einsum("whnm,wmhd->wnhd", attn, v,
+                         preferred_element_type=score_dtype,
                          precision=self.policy.precision).astype(dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(nwb, n, c)
-        return nn.Dense(c, use_bias=True, name="proj",
-                        param_dtype=self.policy.param_dtype, dtype=dtype,
-                        precision=self.policy.precision)(out)
+        out = out.reshape(nwb, n, c)
+        return jnp.einsum("wnc,cd->wnd", out, wproj.astype(dtype),
+                          precision=self.policy.precision) + bproj.astype(dtype)
 
 
 class MaskedWinBlock(nn.Module):
@@ -109,15 +144,30 @@ class MaskedWinBlock(nn.Module):
                 alpha = jnp.roll(alpha, shift=(-ss, -ss), axis=(1, 2))
 
         x_win = window_partition(x, ws)                 # (B*nW, ws, ws, C)
-
-        bias = swin_attention_bias(h, w, ws, ss) if ss > 0 else None
         tokens = x_win.reshape(-1, ws * ws, c)
-        attn = WindowAttention(self.dim, ws, self.num_heads,
-                               policy=self.policy, name="attn")(tokens, bias)
+        nwb = tokens.shape[0]
+
         if alpha is not None:
             a_win = window_partition(alpha, ws)         # (B*nW, ws, ws, 1)
             alive = window_alive(a_win)                 # (B*nW,)
-            attn = attn * alive[:, None, None].astype(attn.dtype)
+        else:
+            alive = None
+
+        wa = WindowAttention(self.dim, ws, self.num_heads,
+                             policy=self.policy, name="attn")
+        # fused kernel pays off for the 8x8 windows (64-token blocks); the
+        # 4x4/C=80 variant maps worse than XLA's lowering (measured on v5e)
+        if self.policy.fused_win_attn and ws >= 8:
+            region = swin_region_ids(h, w, ws, ss)      # (nW_spatial, N)
+            region = jnp.tile(region, (b, 1))
+            gate = (alive if alive is not None
+                    else jnp.ones((nwb,), self.policy.compute_dtype))
+            attn = wa(tokens, fused=(region, gate[:, None]))
+        else:
+            bias = swin_attention_bias(h, w, ws, ss) if ss > 0 else None
+            attn = wa(tokens, bias)
+            if alive is not None:
+                attn = attn * alive[:, None, None].astype(attn.dtype)
         out = window_reverse(attn.reshape(-1, ws, ws, c), ws, h, w)
 
         if ss > 0:

@@ -73,6 +73,26 @@ def swin_attention_bias(h: int, w: int, window_size: int, shift_size: int):
     return jnp.asarray(bias)  # (nW, N, N)
 
 
+@functools.lru_cache(maxsize=64)
+def swin_region_ids(h: int, w: int, window_size: int, shift_size: int):
+    """(nW, N) int32 per-window region labels; the additive SW-MSA bias is
+    -100 wherever two tokens' labels differ (equivalent to
+    swin_attention_bias, used by the fused Pallas kernel)."""
+    ws, ss = window_size, shift_size
+    img_mask = np.zeros((h, w), dtype=np.int32)
+    if ss > 0:
+        h_slices = (slice(0, -ws), slice(-ws, -ss), slice(-ss, None))
+        w_slices = (slice(0, -ws), slice(-ws, -ss), slice(-ss, None))
+        cnt = 0
+        for hs in h_slices:
+            for wsl in w_slices:
+                img_mask[hs, wsl] = cnt
+                cnt += 1
+    nh, nw = h // ws, w // ws
+    m = img_mask.reshape(nh, ws, nw, ws).transpose(0, 2, 1, 3)
+    return jnp.asarray(m.reshape(-1, ws * ws))
+
+
 @functools.lru_cache(maxsize=16)
 def relative_position_index(window_size: int):
     """(N, N) indices into the (2w-1)^2 relative-position bias table.

@@ -43,10 +43,11 @@ def _win_gate_map(flax_rest: str) -> Tuple[str, str]:
     m = re.match(r"attn/attn/relative_position_bias_table", flax_rest)
     if m:
         return "attn.attn.relative_position_bias_table", RAW
-    m = re.match(r"attn/attn/(qkv|proj)/(kernel|bias)", flax_rest)
+    m = re.match(r"attn/attn/(qkv|proj)_(kernel|bias)", flax_rest)
     if m:
         which, leaf = m.groups()
-        return f"attn.attn.{which}.{_leaf(leaf)}", LINEAR
+        kind = LINEAR if leaf == "kernel" else RAW
+        return f"attn.attn.{which}.{_leaf(leaf)}", kind
     raise KeyError(flax_rest)
 
 
@@ -215,7 +216,7 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], template,
             return node
         val = np.asarray(state_dict[torch_key], dtype=np.float32)
         leaf = path.rsplit("/", 1)[-1]
-        out = _transform(val, tkind, leaf == "kernel")
+        out = _transform(val, tkind, leaf.endswith("kernel"))
         if out.shape != tuple(np.shape(node)):
             raise ValueError(
                 f"{path} <- {torch_key}: shape {out.shape} != {np.shape(node)}")

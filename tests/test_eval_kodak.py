@@ -1,0 +1,67 @@
+"""End-to-end eval on a synthetic Kodak-layout tree (SURVEY §4: the
+reference's only integration test is testKodak; this is its automated
+equivalent on a fake 2-image dataset)."""
+
+import logging
+import os
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from rgba_tpu.data.synthetic import write_synthetic_kodak_tree
+from rgba_tpu.data.datasets import KodakDataset
+
+pytestmark = pytest.mark.slow
+
+
+def test_synthetic_tree_layout():
+    with tempfile.TemporaryDirectory() as root:
+        ids = write_synthetic_kodak_tree(root, n_images=2, height=128,
+                                         width=192)
+        assert len(ids) == 2
+        ds = KodakDataset(root)
+        assert len(ds) == 2
+        item = ds.get(0)
+        assert item["image"].shape == (128, 192, 3)
+        assert item["alpha"].shape == (128, 192, 1)
+        assert item["masked_image"].shape == (128, 192, 3)
+        # masked image zero where alpha == 0
+        dead = item["alpha"][..., 0] == 0
+        assert (item["masked_image"][dead] == 0).all()
+
+
+def test_evaluate_kodak_end_to_end():
+    from rgba_tpu.eval.kodak import evaluate_kodak
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    with tempfile.TemporaryDirectory() as root:
+        # > (win-1)*16 = 160 on the short side for MS-SSIM's 5 levels
+        write_synthetic_kodak_tree(root, n_images=1, height=192, width=256)
+
+        mask_model = MaskCodec()
+        mask = jnp.zeros((1, 192, 256, 1))
+        mask_params = mask_model.init({"params": key, "noise": key}, mask,
+                                      training=False)["params"]
+        rgb_model = RGBCodec()
+        x = jnp.zeros((1, 192, 256, 3))
+        me = mask_pyramid(mask)
+        rgb_params = rgb_model.init({"params": key, "noise": key}, x, mask,
+                                    mask, me, training=False)["params"]
+
+        out_dir = os.path.join(root, "out")
+        avg = evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
+                             root, output_dir=out_dir, step=0)
+        assert np.isfinite(avg["bpp"]) and avg["bpp"] > 0
+        assert np.isfinite(avg["psnr"])
+        assert 0 <= avg["msssim"] <= 1
+        # RGBA reconstruction written
+        assert os.path.exists(os.path.join(out_dir, "1img.png"))
+        from PIL import Image
+        img = Image.open(os.path.join(out_dir, "1img.png"))
+        assert img.mode == "RGBA" and img.size == (256, 192)

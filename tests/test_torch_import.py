@@ -95,7 +95,7 @@ def _fake_torch_sd(params, mapper):
         tk, kind = mapper(path)
         v = np.asarray(val)
         leaf = path.rsplit("/", 1)[-1]
-        if leaf == "kernel":
+        if leaf.endswith("kernel"):
             if kind == CONV:
                 v = v.transpose(3, 2, 0, 1)
             elif kind == DECONV:
