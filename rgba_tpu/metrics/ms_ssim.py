@@ -28,13 +28,16 @@ def _gauss_kernel(size: int, sigma: float):
     coords = np.arange(size, dtype=np.float64) - size // 2
     g = np.exp(-(coords ** 2) / (2 * sigma ** 2))
     g /= g.sum()
-    return jnp.asarray(g, jnp.float32)
+    # return numpy, not jnp: this function is lru_cached and may first be
+    # called inside a jit trace — caching a traced constant leaks tracers
+    return g.astype(np.float32)
 
 
 def _blur(x, win):
     """Separable valid-conv Gaussian blur, per channel. x: (B, H, W, C)."""
     c = x.shape[-1]
     k = win.shape[0]
+    win = jnp.asarray(win)
     kh = win.reshape(k, 1, 1, 1)
     kw = win.reshape(1, k, 1, 1)
     kh = jnp.tile(kh, (1, 1, 1, c))

@@ -69,8 +69,8 @@ def swin_attention_bias(h: int, w: int, window_size: int, shift_size: int):
     nh, nw = h // ws, w // ws
     m = img_mask.reshape(nh, ws, nw, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
     diff = m[:, None, :] - m[:, :, None]
-    bias = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
-    return jnp.asarray(bias)  # (nW, N, N)
+    # numpy return: lru_cached + possibly first called inside a jit trace
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)  # (nW, N, N)
 
 
 @functools.lru_cache(maxsize=64)
@@ -90,7 +90,7 @@ def swin_region_ids(h: int, w: int, window_size: int, shift_size: int):
                 cnt += 1
     nh, nw = h // ws, w // ws
     m = img_mask.reshape(nh, ws, nw, ws).transpose(0, 2, 1, 3)
-    return jnp.asarray(m.reshape(-1, ws * ws))
+    return np.ascontiguousarray(m.reshape(-1, ws * ws))
 
 
 @functools.lru_cache(maxsize=16)
@@ -107,4 +107,4 @@ def relative_position_index(window_size: int):
     rel[:, :, 0] += ws - 1
     rel[:, :, 1] += ws - 1
     rel[:, :, 0] *= 2 * ws - 1
-    return jnp.asarray(rel.sum(-1))                   # N, N
+    return np.ascontiguousarray(rel.sum(-1))          # N, N

@@ -75,7 +75,13 @@ class Trainer:
         self.model = model
         self.cfg = cfg
         self.save_path = save_path
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+        if mesh is None:
+            import math
+            n = cfg.num_devices if cfg.num_devices > 0 else len(jax.devices())
+            # the data axis must divide the batch
+            n = math.gcd(cfg.batch_size, n)
+            mesh = make_mesh(n)
+        self.mesh = mesh
         self.snapshot_keep_after = snapshot_keep_after
         self.image_dump_dir = image_dump_dir
 

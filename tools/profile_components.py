@@ -1,10 +1,12 @@
 """Honest per-component TPU timings (see rgba_tpu/utils/benchmark.py for
 the tunnel-safe protocol). Run: python tools/profile_components.py"""
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-from rgba_tpu.core.precision import BF16_POLICY
+from rgba_tpu.core.precision import BF16_POLICY, SERVE_POLICY
 from rgba_tpu.models.mask_codec import MaskCodec
 from rgba_tpu.models.rgb_codec import RGBCodec
 from rgba_tpu.ops.attention import SimplifiedAttention, WinGateAttention
@@ -16,8 +18,8 @@ from rgba_tpu.utils.benchmark import device_time
 
 KEY = jax.random.PRNGKey(0)
 BF = jnp.bfloat16
-P = BF16_POLICY
-B = 4
+P = SERVE_POLICY if os.environ.get("PROFILE_POLICY") == "serve" else BF16_POLICY
+B = int(os.environ.get("PROFILE_BATCH", "4"))
 
 
 def mk(shape, n=8, dtype=BF):
