@@ -24,9 +24,10 @@ class Policy:
     compute_dtype: Any = jnp.float32   # set bfloat16 for TPU speed
     entropy_dtype: Any = jnp.float32   # likelihood math stays fp32
     precision: Any = jax.lax.Precision.HIGHEST
-    # inference-only: route masked window attention through the fused
-    # Pallas kernel (no custom VJP yet — keep False for training)
+    # inference-only: route masked window attention / the DSE tail through
+    # fused Pallas kernels (no custom VJP yet — keep False for training)
     fused_win_attn: bool = False
+    fused_dse: bool = False
 
     def cast_in(self, x):
         return x.astype(self.compute_dtype)
@@ -38,10 +39,15 @@ class Policy:
 DEFAULT_POLICY = Policy()
 BF16_POLICY = Policy(compute_dtype=jnp.bfloat16,
                      precision=jax.lax.Precision.DEFAULT)
-# serving: bf16 + fused Pallas attention (inference only)
+# serving: bf16 + fused Pallas attention (inference only).
+# fused_dse stays off: the kernel is correct (tests run it in interpret
+# mode) but on-chip the 32-channel intermediates pad 4x on the 128-lane
+# axis and dynamic lane slices need 128-alignment — the planned fix is a
+# channels-in-width relayout (see ops/pallas/dse.py docstring).
 SERVE_POLICY = Policy(compute_dtype=jnp.bfloat16,
                       precision=jax.lax.Precision.DEFAULT,
-                      fused_win_attn=True)
+                      fused_win_attn=True,
+                      fused_dse=False)
 
 
 def policy_from_str(name: str) -> Policy:

@@ -4,6 +4,12 @@ Reference: layers/TransformRGB.py:16-49 (ReLU variant, RGB decoder) and
 models/AutoEncoderMask_Journal.py:16-48 (LeakyReLU variant, mask decoder).
 Structure: 1x1 in-conv -> 3 residual enhancement blocks -> long skip ->
 1x1 out-conv -> identity skip.
+
+The module owns explicit parameters (paths identical to the child-Conv
+layout: input_conv/kernel, enh1/conv1/kernel, ...) so the same tree feeds
+either the XLA conv chain (training/parity) or the fused Pallas kernel
+(serving; ops/pallas/dse.py) — the 32-channel convs at full resolution are
+the single most MXU-hostile op in the model (~6% util under XLA).
 """
 
 from __future__ import annotations
@@ -13,21 +19,59 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.precision import Policy, DEFAULT_POLICY
-from .conv import Conv
+
+
+class _ConvParams(nn.Module):
+    k: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (self.k, self.k, self.cin, self.cout), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,),
+                          jnp.float32)
+        return {"kernel": kern, "bias": bias}
+
+
+class _EnhParams(nn.Module):
+    filters: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "conv1": _ConvParams(3, self.filters, self.filters,
+                                 name="conv1")(),
+            "conv2": _ConvParams(3, self.filters, self.filters,
+                                 name="conv2")(),
+        }
+
+
+def _conv(x, p, policy, pad):
+    dt = policy.compute_dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), p["kernel"].astype(dt), (1, 1),
+        ((pad, pad), (pad, pad)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=policy.precision)
+    return y + p["bias"].astype(dt)
 
 
 class EnhancementBlock(nn.Module):
+    """Standalone residual enhancement block (kept for API parity)."""
+
     filters: int = 32
     leaky: bool = False
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
     def __call__(self, x):
-        y = Conv(self.filters, kernel_size=3, stride=1, policy=self.policy,
-                 name="conv1")(x)
+        p = _EnhParams(self.filters, name="p")()
+        y = _conv(x, p["conv1"], self.policy, 1)
         y = jax.nn.leaky_relu(y, 0.01) if self.leaky else jax.nn.relu(y)
-        y = Conv(self.filters, kernel_size=3, stride=1, policy=self.policy,
-                 name="conv2")(y)
+        y = _conv(y, p["conv2"], self.policy, 1)
         return x + y
 
 
@@ -39,14 +83,35 @@ class DSE(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        params = {
+            "input_conv": _ConvParams(1, self.in_ch, self.filters,
+                                      name="input_conv")(),
+            "enh1": _EnhParams(self.filters, name="enh1")(),
+            "enh2": _EnhParams(self.filters, name="enh2")(),
+            "enh3": _EnhParams(self.filters, name="enh3")(),
+            "output_conv": _ConvParams(1, self.filters, self.in_ch,
+                                       name="output_conv")(),
+        }
+
+        h, w = x.shape[1], x.shape[2]
+        if self.policy.fused_dse:
+            th = 64 if h % 64 == 0 else 0
+            tw = 32 if w % 32 == 0 else 0
+            if th and tw:
+                from .pallas.dse import fused_dse
+                interpret = jax.default_backend() != "tpu"
+                return fused_dse(x.astype(self.policy.compute_dtype), params,
+                                 leaky=self.leaky, tile=(th, tw),
+                                 interpret=interpret)
+
         identity = x
-        first = Conv(self.filters, kernel_size=1, stride=1, policy=self.policy,
-                     name="input_conv")(x)
+        first = _conv(x, params["input_conv"], self.policy, 0)
         y = first
-        for i in range(1, 4):
-            y = EnhancementBlock(self.filters, leaky=self.leaky,
-                                 policy=self.policy, name=f"enh{i}")(y)
+        for k in ("enh1", "enh2", "enh3"):
+            z = _conv(y, params[k]["conv1"], self.policy, 1)
+            z = jax.nn.leaky_relu(z, 0.01) if self.leaky else jax.nn.relu(z)
+            z = _conv(z, params[k]["conv2"], self.policy, 1)
+            y = y + z
         y = y + first
-        y = Conv(self.in_ch, kernel_size=1, stride=1, policy=self.policy,
-                 name="output_conv")(y)
+        y = _conv(y, params["output_conv"], self.policy, 0)
         return y + identity

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: fused DSE enhancement tail.
+
+The DSE (reference layers/TransformRGB.py:30-49 / mask variant
+AutoEncoderMask_Journal.py:30-48) is a chain of 32-channel 3x3 convs at
+full image resolution.  XLA's conv lowering achieves ~6% MXU on C=32
+(measured 47 ms per batch-16 image set on v5e), because the contraction
+depth is only 32 lanes.  This kernel fuses the whole chain: the 3x3 convs
+become im2col matmuls with K=9*32=288 assembled in VMEM (never
+materialized in HBM), and all six convs + residuals + the 1x1 in/out convs
+happen in one HBM read/write pass per image.
+
+Layout notes (v5e, bf16 tiles (16,128)):
+  * the image I/O blocks are CHANNELS-LEADING (1, C, H, W) so the tiny
+    1-3 channel dim never sits on the 128-lane axis (NHWC blocks would pad
+    VMEM 42x and blow the 16 MB budget);
+  * intermediates are channels-last (rows, cols, 32) for the matmuls;
+  * im2col patches go through a VMEM scratch because Mosaic cannot
+    concatenate slices whose layouts carry different sublane offsets;
+  * the spatial tile walk is a fori_loop (a Python unroll at 192 tiles
+    made the Mosaic compile explode).
+
+Inference path (no custom VJP) — training uses the XLA formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 6         # 6 chained 3x3 convs
+FILTERS = 32
+
+
+def _conv3x3(t, w_ref, b_ref, out_h, out_w, patches_ref):
+    """t: (out_h+2, out_w+2, 32) -> (out_h, out_w, 32) fp32 + bias."""
+    for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                 for dx in range(3)):
+        patches_ref[0:out_h, 0:out_w, 32 * k:32 * (k + 1)] = \
+            t[dy:dy + out_h, dx:dx + out_w, :]
+    patches = patches_ref[0:out_h, 0:out_w, :]
+    y = jnp.dot(patches.reshape(out_h * out_w, 9 * FILTERS), w_ref[:],
+                preferred_element_type=jnp.float32)
+    return (y + b_ref[:]).reshape(out_h, out_w, FILTERS)
+
+
+def _kernel(x_ref, w_in, b_in, w11, b11, w12, b12, w21, b21, w22, b22,
+            w31, b31, w32, b32, w_out, b_out, o_ref, patches_ref, *,
+            th: int, tw: int, cio: int, leaky: bool, img_h: int, img_w: int):
+    dt = x_ref.dtype
+    ph, pw = th + 2 * HALO, tw + 2 * HALO
+    ntw = img_w // tw
+    ntiles = (img_h // th) * ntw
+
+    def act(v):
+        return jax.nn.leaky_relu(v, 0.01) if leaky else jax.nn.relu(v)
+
+    def tile_body(t, _):
+        ti = t // ntw
+        tj = t % ntw
+        r_base = ti * th
+        c_base = tj * tw
+        # per-channel (ph, pw) planes from the channels-leading block
+        x_c = [x_ref[0, c, pl.ds(r_base, ph), pl.ds(c_base, pw)]
+               for c in range(cio)]
+
+        def inside(vals, r):
+            """Zero activations outside the image: the XLA chain zero-pads
+            every conv's *intermediate* input at the image border; in the
+            tiled kernel those frame positions hold bias-valued activations
+            unless masked out."""
+            nr, nc = vals.shape[0], vals.shape[1]
+            r0 = r_base + (HALO - r)
+            c0 = c_base + (HALO - r)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nr, nc, 1), 0) + r0
+            cols = jax.lax.broadcasted_iota(jnp.int32, (nr, nc, 1), 1) + c0
+            ok = ((rows >= HALO) & (rows < HALO + img_h) &
+                  (cols >= HALO) & (cols < HALO + img_w))
+            return jnp.where(ok, vals, jnp.zeros_like(vals))
+
+        # input 1x1 conv as fp32 broadcast-accumulate (K = cio is tiny)
+        h0 = b_in[:].reshape(1, 1, FILTERS) * jnp.ones(
+            (ph, pw, 1), jnp.float32)
+        for c in range(cio):
+            h0 = h0 + x_c[c].astype(jnp.float32)[:, :, None] * \
+                w_in[c, :][None, None, :]
+        first = inside(h0, HALO).astype(dt)
+
+        def enh(tt, wa, ba, wb, bb, r):
+            oh, ow = th + 2 * r, tw + 2 * r
+            c1 = act(inside(_conv3x3(tt, wa, ba, oh + 2, ow + 2,
+                                     patches_ref), r + 1)).astype(dt)
+            c2 = _conv3x3(c1, wb, bb, oh, ow, patches_ref)
+            out = c2 + tt[2:2 + oh, 2:2 + ow, :].astype(jnp.float32)
+            return inside(out, r).astype(dt)
+
+        t1 = enh(first, w11, b11, w12, b12, 4)
+        t2 = enh(t1, w21, b21, w22, b22, 2)
+        t3 = enh(t2, w31, b31, w32, b32, 0)            # (th, tw, 32)
+        merged = t3.astype(jnp.float32) + \
+            first[HALO:HALO + th, HALO:HALO + tw, :].astype(jnp.float32)
+        out = jnp.dot(merged.reshape(th * tw, FILTERS).astype(dt), w_out[:],
+                      preferred_element_type=jnp.float32) + b_out[:]
+        out = out.reshape(th, tw, cio)
+        for c in range(cio):
+            out_c = out[:, :, c] + \
+                x_c[c][HALO:HALO + th, HALO:HALO + tw].astype(jnp.float32)
+            o_ref[0, c, pl.ds(r_base, th), pl.ds(c_base, tw)] = \
+                out_c.astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, ntiles, tile_body, None)
+
+
+@functools.partial(jax.jit, static_argnames=("leaky", "tile", "interpret"))
+def fused_dse(x, params, *, leaky: bool = False, tile=(64, 32),
+              interpret: bool = False):
+    """x: (B, H, W, Cio); params: dict with input_conv/enh{1,2,3}/output_conv
+    weight matrices (see wrapper in ops/enhance.py). Returns (B, H, W, Cio).
+    H, W must be divisible by the tile."""
+    bsz, h, w, cio = x.shape
+    th, tw = tile
+    assert h % th == 0 and w % tw == 0, (h, w, tile)
+    dt = x.dtype
+
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO), (HALO, HALO), (0, 0)))
+    xp = xp.transpose(0, 3, 1, 2)                # (B, Cio, H+12, W+12)
+
+    def rw(wk):   # (3,3,32,32) HWIO -> (288, 32), compute dtype
+        return wk.reshape(9 * FILTERS, FILTERS).astype(dt)
+
+    args = [
+        params["input_conv"]["kernel"].reshape(cio, FILTERS).astype(jnp.float32),
+        params["input_conv"]["bias"].astype(jnp.float32),
+    ]
+    for k in ("enh1", "enh2", "enh3"):
+        for c in ("conv1", "conv2"):
+            args.append(rw(params[k][c]["kernel"]))
+            args.append(params[k][c]["bias"].astype(jnp.float32))
+    args.append(params["output_conv"]["kernel"].reshape(FILTERS, cio).astype(dt))
+    args.append(params["output_conv"]["bias"].astype(jnp.float32))
+
+    kern = functools.partial(_kernel, th=th, tw=tw, cio=cio, leaky=leaky,
+                             img_h=h, img_w=w)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz,),
+        in_specs=[pl.BlockSpec((1, cio, h + 2 * HALO, w + 2 * HALO),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=pl.BlockSpec((1, cio, h, w), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, cio, h, w), dt),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * HALO - 2, tw + 2 * HALO - 2, 9 * FILTERS),
+                       dt),
+        ],
+        interpret=interpret,
+    )(xp, *args)
+    return out.transpose(0, 2, 3, 1)             # back to NHWC
