@@ -22,6 +22,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="hyperparameters in json format")
     p.add_argument("--seed", default=234, type=int)
     p.add_argument("--kodak", default="../Kodak/", help="Kodak RGBA root")
+    p.add_argument("--real-codec", action="store_true",
+                   help="eval with the actual rANS bitstream (byte-true bpp)")
     p.add_argument("--train-coco", default="../P3Mdata/COCOdata")
     p.add_argument("--train-p3m", default="../P3Mdata/MASKpatches")
     return p

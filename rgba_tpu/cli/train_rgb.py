@@ -59,7 +59,8 @@ def main(argv=None):
         params, step = load_params_if(args.pretrain,
                                       jax.device_get(state.params))
         evaluate_kodak(model, params, mask_model, mask_params, args.kodak,
-                       output_dir="outputKodak", step=step)
+                       output_dir="outputKodak", step=step,
+                       real_codec=args.real_codec)
         return
 
     ds = RGBATrainDataset(args.train_coco, args.train_p3m,

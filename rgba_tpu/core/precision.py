@@ -35,6 +35,14 @@ class Policy:
     def cast_entropy(self, x):
         return x.astype(self.entropy_dtype)
 
+    def gelu(self, x):
+        """fp32 parity: exact erf GELU (torch nn.GELU default). bf16 speed:
+        tanh approximation — measured 2x faster on VPU (the erf on big
+        activations costs more than the adjacent convs) and the |error|
+        ~1e-3 is below bf16 resolution."""
+        exact = self.compute_dtype == jnp.float32
+        return jax.nn.gelu(x, approximate=not exact)
+
 
 DEFAULT_POLICY = Policy()
 BF16_POLICY = Policy(compute_dtype=jnp.bfloat16,

@@ -68,10 +68,23 @@ def make_eval_step(rgb_model, mask_model):
 
 def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
                    rootpath: str, output_dir: Optional[str] = None,
-                   step: int = 0, tb_writer=None) -> dict:
+                   step: int = 0, tb_writer=None,
+                   real_codec: bool = False) -> dict:
+    """real_codec=True additionally runs the actual rANS bitstream per
+    image (mask + RGB streams via the container format) and reports the
+    byte-accurate bpp alongside the likelihood-estimated one (the
+    reference can only estimate, SURVEY §3.4)."""
     ds = KodakDataset(rootpath)
     eval_step = make_eval_step(rgb_model, mask_model)
-    sums = {k: 0.0 for k in ("bpp", "psnr", "msssim", "msssimdb", "time")}
+    codec = None
+    if real_codec:
+        from .codec_io import CodecIO
+        from .container import RGBAFileCodec
+        codec = RGBAFileCodec(
+            CodecIO(rgb_model, rgb_params, kind="rgb"),
+            CodecIO(mask_model, mask_params, kind="mask"))
+    sums = {k: 0.0 for k in ("bpp", "psnr", "msssim", "msssimdb", "time",
+                             "real_bpp")}
     n = len(ds)
     for i in range(n):
         item = ds.get(i)
@@ -84,6 +97,13 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
 
         mse = float(out["mse"])
         bpp = float(out["bpp"])
+        if codec is not None:
+            h, w = item["image"].shape[:2]
+            blob = codec.encode(item["image"][None], item["alpha"][None])
+            real_bpp = len(blob) * 8 / (h * w)
+            sums["real_bpp"] += real_bpp
+            logger.info("real bitstream: %d bytes = %.6f bpp", len(blob),
+                        real_bpp)
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         msssim = float(out["msssim"])
         msssimdb = -10 * np.log10(max(1 - msssim, 1e-12))
@@ -101,6 +121,8 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
                        out["x_hat"][0], out["recon_mask"][0])
 
     avg = {k: v / max(n, 1) for k, v in sums.items()}
+    if not real_codec:
+        avg.pop("real_bpp", None)
     logger.info(
         "Dataset Average result---Time:{time:.6f}, Bpp:{bpp:.6f}, "
         "PSNR:{psnr:.6f}, MS-SSIM:{msssim:.6f}, MS-SSIM-DB:{msssimdb:.6f}"

@@ -47,7 +47,7 @@ class HyperAnalysis(nn.Module):
             x = Conv(c, kernel_size=3, stride=s, policy=self.policy,
                      name=f"conv{i}")(x)
             if i < len(chs) - 1:
-                x = jax.nn.gelu(x, approximate=False)
+                x = self.policy.gelu(x)
         return x
 
 
@@ -58,15 +58,15 @@ class HyperSynthesis(nn.Module):
     @nn.compact
     def __call__(self, z_hat):
         x = SubpelConv(192, r=2, policy=self.policy, name="up0")(z_hat)
-        x = jax.nn.gelu(x, approximate=False)
+        x = self.policy.gelu(x)
         x = Conv(224, kernel_size=3, stride=1, policy=self.policy,
                  name="conv1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = self.policy.gelu(x)
         x = SubpelConv(256, r=2, policy=self.policy, name="up2")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = self.policy.gelu(x)
         x = Conv(288, kernel_size=3, stride=1, policy=self.policy,
                  name="conv3")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = self.policy.gelu(x)
         x = SubpelConv(self.out_channels, r=2, policy=self.policy,
                        name="up4")(x)
         return x
@@ -82,10 +82,10 @@ class SliceTransform(nn.Module):
     def __call__(self, x):
         x = Conv(224, kernel_size=3, stride=1, policy=self.policy,
                  name="conv0")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = self.policy.gelu(x)
         x = Conv(128, kernel_size=3, stride=1, policy=self.policy,
                  name="conv1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = self.policy.gelu(x)
         return Conv(self.out_channels, kernel_size=3, stride=1,
                     policy=self.policy, name="conv2")(x)
 

@@ -187,13 +187,13 @@ class ResidualUnit(nn.Module):
         n = self.dim
         y = Conv(n // 2, kernel_size=1, stride=1, policy=self.policy,
                  name="conv0")(x)
-        y = jax.nn.gelu(y, approximate=False)
+        y = self.policy.gelu(y)
         y = Conv(n // 2, kernel_size=3, stride=1, policy=self.policy,
                  name="conv1")(y)
-        y = jax.nn.gelu(y, approximate=False)
+        y = self.policy.gelu(y)
         y = Conv(n, kernel_size=1, stride=1, policy=self.policy,
                  name="conv2")(y)
-        return jax.nn.gelu(x + y, approximate=False)
+        return self.policy.gelu(x + y)
 
 
 class WinGateAttention(nn.Module):

@@ -239,6 +239,6 @@ class MLPConvStack(nn.Module):
         for i, h in enumerate(self.hidden):
             x = Conv(h, kernel_size=3, stride=1, policy=self.policy,
                      name=f"conv{i}")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = self.policy.gelu(x)
         return Conv(self.out, kernel_size=3, stride=1, policy=self.policy,
                     name=f"conv{len(self.hidden)}")(x)
