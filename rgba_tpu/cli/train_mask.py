@@ -89,6 +89,7 @@ def main(argv=None):
     if cfg.decay_interval2 is None:
         cfg.decay_interval2 = 500_000   # hardcoded in trainmask.py:39
     cfg.fill_mix_ratio = 0.0            # trainmask.py:333
+    cfg.snapshot_freq = 2000            # rotating cadence, trainmask.py:65-76
 
     save_path = os.path.join("checkpoints", args.name) if args.name else ""
     logger = setup_logging(save_path)
