@@ -87,7 +87,11 @@ def main(argv=None):
 
     eval_hook = eval_fn if os.path.isdir(
         os.path.join(args.kodak, "PNGImages")) else None
-    trainer.train(loader, state, tb_writer=tb, eval_fn=eval_hook)
+    try:
+        trainer.train(loader, state, tb_writer=tb, eval_fn=eval_hook)
+    finally:
+        if tb is not None:
+            tb.close()
 
 
 if __name__ == "__main__":

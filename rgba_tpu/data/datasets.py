@@ -19,7 +19,7 @@ import glob
 import math
 import os
 import random
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image, ImageFile

@@ -19,9 +19,8 @@ is possible anyway because channel widths of the support stack grow.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

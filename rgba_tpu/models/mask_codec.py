@@ -15,7 +15,6 @@ likelihood-estimated mask bpp of trainmask.py:258-271).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -10,7 +10,6 @@ This is the metric-producing eval path of testKodak (trainRGB.py:258-317):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

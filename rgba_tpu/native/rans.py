@@ -9,7 +9,6 @@ slice-interleaved decode of the channel-AR model.
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Optional
 
 import numpy as np

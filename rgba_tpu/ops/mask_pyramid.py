@@ -8,7 +8,6 @@ parameterless nn.Module.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def _avg_pool_3x3_s2(x):
