@@ -63,3 +63,21 @@ def test_rgb_codec_bitstream_roundtrip():
     fwd = model.apply({"params": params}, x, mask, mask, me, training=False)
     expect = np.clip(np.asarray(fwd["x_hat"]), 0, 1)
     np.testing.assert_allclose(recon, expect, atol=1e-5)
+
+
+def test_rgb_codec_bitstream_rectangular():
+    """Non-square image: exercises the (h, w) crops in the slice stats and
+    the rectangular mask pyramid (Kodak is 768x512)."""
+    model = RGBCodec()
+    data = synthetic_rgba_batch(1, 64, 128, seed=4)
+    x = jnp.asarray(data["masked_image"])
+    mask = jnp.asarray(data["alpha"])
+    me = mask_pyramid(mask)
+    params = model.init({"params": KEY, "noise": KEY}, x, mask, mask, me,
+                        training=False)["params"]
+    io = CodecIO(model, params, kind="rgb")
+    comp = io.compress(image=np.asarray(x), mask=np.asarray(mask))
+    recon = io.decompress(comp, mask=np.asarray(mask))
+    fwd = model.apply({"params": params}, x, mask, mask, me, training=False)
+    np.testing.assert_allclose(recon, np.clip(np.asarray(fwd["x_hat"]), 0, 1),
+                               atol=1e-5)
