@@ -47,6 +47,10 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"     # bf16 activations on TPU
     num_devices: int = 0                # 0 = use all local devices (DP)
     snapshot_freq: int = 5000           # rotating ckpt cadence, trainRGB.py:240
+    # RGB-codec distortion term: "mse" (reference default) or "msssim"
+    # (1 - masked MS-SSIM, the commented-out alternative at trainRGB.py:183;
+    # BASELINE.json lists "training with masked MS-SSIM loss" as a config).
+    distortion: str = "mse"
 
     def lr_at(self, step: int) -> float:
         """Piecewise-constant schedule, trainRGB.py:142-155 / trainmask.py:337-341."""
@@ -80,7 +84,8 @@ def load_config(path: Optional[str] = None, **overrides) -> TrainConfig:
             cfg.decay_interval2 = lr["decay_interval2"]
         # accept engineering keys too, if present
         for key in ("seed", "grad_clip", "aux_lr", "curriculum_step",
-                    "fill_mix_ratio", "compute_dtype", "num_devices"):
+                    "fill_mix_ratio", "compute_dtype", "num_devices",
+                    "distortion"):
             if key in raw:
                 setattr(cfg, key, raw[key])
     for k, v in overrides.items():

@@ -48,12 +48,25 @@ def _mask_loss_fn(model: MaskCodec, cfg: TrainConfig):
 
 
 def _rgb_loss_fn(model: RGBCodec, cfg: TrainConfig):
+    if cfg.distortion not in ("mse", "msssim"):
+        raise ValueError(f"unknown distortion: {cfg.distortion!r}")
+
     def loss_fn(params, batch, rng):
         mask = batch["alpha"]
         me = mask_pyramid(mask)
         out = model.apply({"params": params}, batch["masked_image"], mask,
                           mask, me, training=True, rngs={"noise": rng})
-        rd = cfg.train_lambda * out["mse_loss"] + out["bpp"]
+        if cfg.distortion == "msssim":
+            # 1 - masked MS-SSIM over the alpha-visible region — the
+            # reference carries this as the commented-out distortion
+            # (trainRGB.py:183, plain ms_ssim there; the masked variant is
+            # the RGBA-correct form and reduces to it for all-ones masks).
+            from ..metrics.ms_ssim import masked_ms_ssim
+            distortion = 1.0 - masked_ms_ssim(
+                batch["masked_image"], out["x_hat"], mask, data_range=1.0)
+        else:
+            distortion = out["mse_loss"]
+        rd = cfg.train_lambda * distortion + out["bpp"]
         return rd, {"mse_loss": out["mse_loss"], "bpp": out["bpp"],
                     "bpp_y": out["bpp_y"], "bpp_z": out["bpp_z"]}
     return loss_fn
@@ -128,7 +141,13 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         step = int(state.step)
         tot = max_steps if max_steps is not None else cfg.tot_step
-        epoch = 0
+        # re-derive the epoch from the resumed step like the reference
+        # (trainRGB.py:388: epoch = global_step // (len(dataset)//batch))
+        try:
+            steps_per_epoch = len(loader)
+        except TypeError:
+            steps_per_epoch = 0
+        epoch = step // steps_per_epoch if steps_per_epoch > 0 else 0
         while step < tot:
             for batch in loader:
                 t0 = time.time()

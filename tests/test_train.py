@@ -113,6 +113,40 @@ def test_mask_training_loss_decreases():
 
 
 @pytest.mark.slow
+def test_rgb_training_msssim_distortion():
+    """distortion="msssim" trains the RGB codec with 1 - masked MS-SSIM as
+    the distortion term (reference trainRGB.py:183 commented alternative;
+    BASELINE.json "RGB-model training with masked MS-SSIM loss")."""
+    from rgba_tpu.train.loops import RGBTrainer
+    cfg = TrainConfig(train_lambda=64, batch_size=1, tot_step=2,
+                      aux_lr=0.0, distortion="msssim", curriculum_step=0)
+    with tempfile.TemporaryDirectory() as d:
+        trainer = RGBTrainer(cfg, d)
+        # 256^2: smallest size where all 5 MS-SSIM levels fit the 11-tap win
+        ds = SynthDataset(n=1, hw=256)
+        loader = BatchLoader(ds, batch_size=1, num_workers=1)
+        example = next(iter(loader))
+        state = trainer.init_state(example)
+        step_fn = trainer.compiled_step()
+        db = shard_batch(trainer.mesh, example)
+        state, metrics = step_fn(state, db, jax.random.PRNGKey(0))
+        rd = float(metrics["rd_loss"])
+        assert np.isfinite(rd)
+        # rd = lambda*(1-msssim) + bpp, so it must sit below lambda + bpp
+        # and cannot equal the mse-based loss at matched params
+        assert rd < cfg.train_lambda + float(metrics["bpp"]) + 1.0
+        leaves = jax.tree_util.tree_leaves(state.params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_rgb_loss_fn_unknown_distortion_rejected():
+    from rgba_tpu.train.loops import _rgb_loss_fn
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    with pytest.raises(ValueError):
+        _rgb_loss_fn(RGBCodec(), TrainConfig(distortion="l1"))
+
+
+@pytest.mark.slow
 def test_mask_training_multidevice_dp():
     """Same train step with the batch sharded over all 8 virtual devices."""
     assert jax.device_count() == 8
