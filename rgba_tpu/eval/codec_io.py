@@ -10,15 +10,25 @@ with the TPU-native division of labour designed in SURVEY §3.4:
     slice because the decoded symbols feed the next slice's convs).
   * host (C++ rANS): byte-stream encode/decode with 16-bit quantized CDFs.
 
-The mask codec gets the same treatment (capability upgrade — the reference
-never implemented its bitstream, AutoEncoderMask_Journal.py ends at
-forward).
+Two serving-oriented upgrades over the reference's per-image serial loop
+(AutoEncoderRGB_Journal.py:390-410, 10 host<->device ping-pongs per image):
+
+  1. The decode slice loop is FUSED — finishing slice i-1 (sym+mu+lrp) and
+     computing slice i's (mu, index) happen in one dispatched program, so a
+     full decode is num_slices+1 dispatches instead of 2*num_slices.
+  2. compress/decompress are BATCHED over images: the per-slice device
+     round trip (the unavoidable serial step of channel-autoregression —
+     the host must see slice i's indexes before it can rANS-decode slice
+     i's bytes) is paid once per slice for the whole batch, and the B
+     independent rANS streams are coded on host threads (the ctypes calls
+     release the GIL).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +37,8 @@ import numpy as np
 from ..entropy.gaussian import GaussianConditional, get_scale_table
 from ..native import rans
 from ..ops.mask_pyramid import mask_pyramid
+
+_MAX_CODING_THREADS = 8
 
 
 class CodecIO:
@@ -43,6 +55,7 @@ class CodecIO:
         self.gc = GaussianConditional(get_scale_table())
         self.gc.update()
         self.eb_tables = self._build_eb_tables()
+        self._pool = ThreadPoolExecutor(max_workers=_MAX_CODING_THREADS)
 
     # ------------------------------------------------------------ tables
 
@@ -89,11 +102,13 @@ class CodecIO:
                     y_hat = sym + mu
                     y_hat = y_hat + m.prior.slice_lrp(lm, support, y_hat, i)
                     y_hat_slices.append(y_hat)
-                    sym_list.append(sym.astype(jnp.int32))
-                    idx_list.append(index)
-                y_hat_full = jnp.concatenate(y_hat_slices, axis=-1)
+                    sym_list.append(sym.astype(jnp.int16))
+                    idx_list.append(index.astype(jnp.uint8))
+                # int16/uint8 keeps the host fetch small (the tunnel pays
+                # per byte): symbols are bounded by the 0-50-bit clamp and
+                # scale-table indexes by the 64-entry table
                 return (jnp.stack(sym_list), jnp.stack(idx_list),
-                        z_sym.astype(jnp.int32), y_hat_full, z.shape)
+                        z_sym.astype(jnp.int16), z.shape)
 
             return model.apply({"params": params}, method=inner)
 
@@ -112,35 +127,57 @@ class CodecIO:
         return jax.jit(run)
 
     @functools.cached_property
-    def _slice_stats_fns(self):
+    def _first_stats_fn(self):
+        """(params, lm, ls) -> (mu_0, index_0): slice 0 has no support."""
         model = self.model
-        fns = []
-        for i in range(self.num_slices):
-            def run(params, lm, ls, support, i=i):
+
+        def run(params, lm, ls):
+            def inner(m):
+                h, w = lm.shape[1], lm.shape[2]
+                mu, scale = m.prior.slice_stats(lm, ls, [], 0, (h, w))
+                return mu, self.gc.build_indexes(scale).astype(jnp.uint8)
+            return model.apply({"params": params}, method=inner)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _step_fns(self):
+        """step[i] (i>=1) fuses: finish slice i-1 from its decoded symbols
+        (y_hat = sym + mu + lrp) AND produce slice i's (mu, index) — one
+        device dispatch per decoded slice."""
+        model = self.model
+        fns: List = [None]
+        for i in range(1, self.num_slices):
+            def run(params, lm, ls, sym_prev, mu_prev, *support, i=i):
                 def inner(m):
                     h, w = lm.shape[1], lm.shape[2]
-                    mu, scale = m.prior.slice_stats(lm, ls, list(support), i,
-                                                    (h, w))
-                    index = self.gc.build_indexes(scale)
-                    return mu, index
+                    sup = list(support)
+                    y_prev = sym_prev.astype(jnp.float32) + mu_prev
+                    y_prev = y_prev + m.prior.slice_lrp(
+                        lm, sup[:m.prior.max_support_slices], y_prev, i - 1)
+                    sup.append(y_prev)
+                    mu, scale = m.prior.slice_stats(
+                        lm, ls, sup[:m.prior.max_support_slices], i, (h, w))
+                    return y_prev, mu, self.gc.build_indexes(scale).astype(
+                        jnp.uint8)
                 return model.apply({"params": params}, method=inner)
             fns.append(jax.jit(run))
         return fns
 
     @functools.cached_property
-    def _slice_finish_fns(self):
+    def _last_finish_fn(self):
+        """Finish the final slice (no further stats needed)."""
         model = self.model
-        fns = []
-        for i in range(self.num_slices):
-            def run(params, lm, support, sym, mu, i=i):
-                def inner(m):
-                    y_hat = sym.astype(jnp.float32) + mu
-                    y_hat = y_hat + m.prior.slice_lrp(lm, list(support),
-                                                      y_hat, i)
-                    return y_hat
-                return model.apply({"params": params}, method=inner)
-            fns.append(jax.jit(run))
-        return fns
+        i = self.num_slices - 1
+
+        def run(params, lm, sym, mu, *support):
+            def inner(m):
+                y_hat = sym.astype(jnp.float32) + mu
+                return y_hat + m.prior.slice_lrp(
+                    lm, list(support)[:m.prior.max_support_slices], y_hat, i)
+            return model.apply({"params": params}, method=inner)
+
+        return jax.jit(run)
 
     @functools.cached_property
     def _decode_image_fn(self):
@@ -162,67 +199,93 @@ class CodecIO:
 
     # ----------------------------------------------------------- public
 
-    def compress(self, image: Optional[np.ndarray] = None,
-                 mask: Optional[np.ndarray] = None) -> dict:
-        """RGB: compress(image, mask) — mask is the (recon) alpha used for
-        gating, per compress() in the reference which uses the GT mask and
-        its pyramid (:314-315). Mask codec: compress(mask=alpha)."""
+    def compress_batch(self, image: Optional[np.ndarray] = None,
+                       mask: Optional[np.ndarray] = None) -> List[dict]:
+        """Batched compress: one device pass for all images, then B
+        independent rANS streams coded on host threads. Returns one
+        {"strings": [y, z], "shape": (zh, zw)} dict per image."""
         if self.kind == "rgb":
-            assert image.shape[0] == 1, "compress expects batch 1 (per-image)"
             me = mask_pyramid(jnp.asarray(mask))
             args = (jnp.asarray(image), jnp.asarray(mask), me[1], me[2])
+            batch = image.shape[0]
         else:
-            assert mask.shape[0] == 1, "compress expects batch 1 (per-image)"
             args = (jnp.asarray(mask),)
-        y_syms, y_idxs, z_sym, _, z_shape = jax.device_get(
+            batch = mask.shape[0]
+        y_syms, y_idxs, z_sym, z_shape = jax.device_get(
             self._compress_fn(self.params, *args))
+        y_syms = y_syms.astype(np.int32)
+        y_idxs = y_idxs.astype(np.int32)
+        z_sym = z_sym.astype(np.int32)
 
         t = self.eb_tables
         c = z_sym.shape[-1]
         z_indexes = np.broadcast_to(
-            np.arange(c, dtype=np.int32), z_sym.shape)
-        z_string = rans.encode_with_indexes(
-            z_sym.ravel(), z_indexes.ravel(),
-            t["quantized_cdfs"], t["cdf_lengths"], t["offsets"])
+            np.arange(c, dtype=np.int32), z_sym.shape[1:])
+        shape = tuple(int(s) for s in z_shape[1:3])
 
-        y_string = rans.encode_with_indexes(
-            y_syms.ravel(), y_idxs.ravel(),
-            self.gc.quantized_cdfs, self.gc.cdf_lengths, self.gc.offsets)
+        def code_one(b):
+            z_string = rans.encode_with_indexes(
+                z_sym[b].ravel(), z_indexes.ravel(),
+                t["quantized_cdfs"], t["cdf_lengths"], t["offsets"])
+            # slice-major symbol order — the decoder reads slice 0 first
+            y_string = rans.encode_with_indexes(
+                y_syms[:, b].ravel(), y_idxs[:, b].ravel(),
+                self.gc.quantized_cdfs, self.gc.cdf_lengths, self.gc.offsets)
+            return {"strings": [y_string, z_string], "shape": shape}
 
-        return {
-            "strings": [y_string, z_string],
-            "shape": tuple(int(s) for s in z_shape[1:3]),
-        }
+        if batch == 1:
+            return [code_one(0)]
+        return list(self._pool.map(code_one, range(batch)))
 
-    def decompress(self, compressed: dict,
-                   mask: Optional[np.ndarray] = None) -> np.ndarray:
-        """Reconstruct the image (RGB) or alpha (mask) from byte strings."""
-        y_string, z_string = compressed["strings"]
-        zh, zw = compressed["shape"]
+    def decompress_batch(self, compressed: Sequence[dict],
+                         mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Batched decompress of same-shaped streams. The slice loop runs
+        once for the whole batch: one fused device dispatch + one index
+        fetch per slice, with the B rANS streams decoded on host threads."""
+        batch = len(compressed)
+        zh, zw = compressed[0]["shape"]
+        assert all(c["shape"] == (zh, zw) for c in compressed), \
+            "decompress_batch requires same-shaped streams"
         t = self.eb_tables
         c = t["quantized_cdfs"].shape[0]
         z_indexes = np.broadcast_to(np.arange(c, dtype=np.int32),
                                     (1, zh, zw, c))
-        z_sym = rans.decode_with_indexes(
-            z_string, z_indexes, t["quantized_cdfs"], t["cdf_lengths"],
-            t["offsets"]).astype(np.float32)
+
+        def decode_z(b):
+            return rans.decode_with_indexes(
+                compressed[b]["strings"][1], z_indexes, t["quantized_cdfs"],
+                t["cdf_lengths"], t["offsets"]).astype(np.float32)
+
+        z_sym = np.concatenate(list(self._pool.map(decode_z, range(batch))))
         z_hat = jnp.asarray(z_sym + t["medians"][None, None, None, :])
 
         lm, ls = self._hyper_decode_fn(self.params, z_hat)
-        dec = rans.RansDecoder(y_string)
-        support: List = []
-        y_hat_slices: List = []
+        decoders = [rans.RansDecoder(c["strings"][0]) for c in compressed]
+
+        def decode_slice(args):
+            dec, idx = args
+            return dec.decode_stream(idx, self.gc.quantized_cdfs,
+                                     self.gc.cdf_lengths, self.gc.offsets)
+
+        y_hats: List = []
+        mu, index = self._first_stats_fn(self.params, lm, ls)
         for i in range(self.num_slices):
-            sup = tuple(y_hat_slices[:5])
-            mu, index = self._slice_stats_fns[i](self.params, lm, ls, sup)
-            idx_np = jax.device_get(index)
-            sym = dec.decode_stream(idx_np, self.gc.quantized_cdfs,
-                                    self.gc.cdf_lengths, self.gc.offsets)
-            y_hat = self._slice_finish_fns[i](
-                self.params, lm, sup, jnp.asarray(sym), mu)
-            y_hat_slices.append(y_hat)
-        dec.close()
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+            # uint8 down, int16 up — the tunnel pays per byte
+            idx_np = jax.device_get(index).astype(np.int32)
+            syms = list(self._pool.map(
+                decode_slice,
+                [(decoders[b], idx_np[b:b + 1]) for b in range(batch)]))
+            sym_dev = jnp.asarray(np.concatenate(syms).astype(np.int16))
+            if i < self.num_slices - 1:
+                y_prev, mu, index = self._step_fns[i + 1](
+                    self.params, lm, ls, sym_dev, mu, *y_hats)
+                y_hats.append(y_prev)
+            else:
+                y_hats.append(self._last_finish_fn(
+                    self.params, lm, sym_dev, mu, *y_hats))
+        for dec in decoders:
+            dec.close()
+        y_hat = jnp.concatenate(y_hats, axis=-1)
 
         if self.kind == "rgb":
             md = mask_pyramid(jnp.asarray(mask))
@@ -230,3 +293,17 @@ class CodecIO:
         else:
             x_hat = self._decode_image_fn(self.params, y_hat)
         return np.asarray(jax.device_get(x_hat))
+
+    def compress(self, image: Optional[np.ndarray] = None,
+                 mask: Optional[np.ndarray] = None) -> dict:
+        """RGB: compress(image, mask) — mask is the (recon) alpha used for
+        gating, per compress() in the reference which uses the GT mask and
+        its pyramid (:314-315). Mask codec: compress(mask=alpha)."""
+        lead = image if self.kind == "rgb" else mask
+        assert lead.shape[0] == 1, "compress expects batch 1 (per-image)"
+        return self.compress_batch(image=image, mask=mask)[0]
+
+    def decompress(self, compressed: dict,
+                   mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Reconstruct the image (RGB) or alpha (mask) from byte strings."""
+        return self.decompress_batch([compressed], mask=mask)

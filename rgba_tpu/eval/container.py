@@ -78,35 +78,59 @@ class RGBAFileCodec:
 
     def encode(self, image: np.ndarray, alpha: np.ndarray) -> bytes:
         """image: (1,H,W,3) float32; alpha: (1,H,W,1) float32."""
-        import jax.numpy as jnp
-        from ..ops.morphology import constraint_rgb
-
-        h, w = image.shape[1:3]
-        opaque = bool(np.all(alpha == 1.0))
-        if opaque:
-            mask_comp = None
-            recon_mask = np.ones_like(alpha)
-        else:
-            mask_comp = self.mask_io.compress(mask=alpha)
-            rm = self.mask_io.decompress(mask_comp)
-            rm = np.round(np.clip(rm, 0, 1) * 255.0) / 255.0
-            recon_mask = np.asarray(constraint_rgb(jnp.asarray(rm)))
-        masked = np.where(recon_mask > 0, image, recon_mask)
-        rgb_comp = self.rgb_io.compress(image=masked, mask=recon_mask)
-        return pack_rgba(h, w, rgb_comp, mask_comp)
+        return self.encode_batch(image, alpha)[0]
 
     def decode(self, blob: bytes) -> np.ndarray:
         """Returns (1, H, W, 4) float32 RGBA."""
+        return self.decode_batch([blob])
+
+    # ------------------------------------------------- batched serving API
+
+    def encode_batch(self, images: np.ndarray,
+                     alphas: np.ndarray) -> list[bytes]:
+        """Compress B same-shaped RGBA images in one batched device pass
+        per stage (the per-slice autoregression cost is paid once for the
+        whole batch). Returns one container blob per image."""
         import jax.numpy as jnp
         from ..ops.morphology import constraint_rgb
 
-        meta = unpack_rgba(blob)
-        h, w = meta["height"], meta["width"]
-        if meta["mask"] is None:
-            recon_mask = np.ones((1, h, w, 1), np.float32)
-        else:
-            rm = self.mask_io.decompress(meta["mask"])
+        b, h, w = images.shape[:3]
+        opaque = [bool(np.all(alphas[i] == 1.0)) for i in range(b)]
+        non_op = [i for i in range(b) if not opaque[i]]
+        recon_mask = np.ones_like(alphas)
+        mask_comps: dict[int, dict] = {}
+        if non_op:
+            comps = self.mask_io.compress_batch(mask=alphas[non_op])
+            rm = self.mask_io.decompress_batch(comps)
             rm = np.round(np.clip(rm, 0, 1) * 255.0) / 255.0
-            recon_mask = np.asarray(constraint_rgb(jnp.asarray(rm)))
-        rgb = self.rgb_io.decompress(meta["rgb"], mask=recon_mask)
+            rm = np.asarray(constraint_rgb(jnp.asarray(rm)))
+            for k, i in enumerate(non_op):
+                recon_mask[i] = rm[k]
+                mask_comps[i] = comps[k]
+        masked = np.where(recon_mask > 0, images, recon_mask)
+        rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask)
+        return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i))
+                for i in range(b)]
+
+    def decode_batch(self, blobs: list[bytes]) -> np.ndarray:
+        """Decode B same-shaped container blobs; returns (B, H, W, 4)."""
+        import jax.numpy as jnp
+        from ..ops.morphology import constraint_rgb
+
+        metas = [unpack_rgba(blob) for blob in blobs]
+        h, w = metas[0]["height"], metas[0]["width"]
+        assert all(m["height"] == h and m["width"] == w for m in metas), \
+            "decode_batch requires same-sized images"
+        b = len(metas)
+        recon_mask = np.ones((b, h, w, 1), np.float32)
+        with_mask = [i for i, m in enumerate(metas) if m["mask"] is not None]
+        if with_mask:
+            rm = self.mask_io.decompress_batch(
+                [metas[i]["mask"] for i in with_mask])
+            rm = np.round(np.clip(rm, 0, 1) * 255.0) / 255.0
+            rm = np.asarray(constraint_rgb(jnp.asarray(rm)))
+            for k, i in enumerate(with_mask):
+                recon_mask[i] = rm[k]
+        rgb = self.rgb_io.decompress_batch([m["rgb"] for m in metas],
+                                           mask=recon_mask)
         return np.concatenate([rgb, recon_mask], axis=-1)

@@ -72,3 +72,52 @@ def test_rgba_file_codec_end_to_end():
     rgba2 = codec.decode(blob2)
     np.testing.assert_array_equal(rgba2[..., 3], 1.0)
     assert len(blob2) < len(blob) + 64   # no mask stream bytes
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not rans.available(), reason="native rans not built")
+def test_rgba_file_codec_batched():
+    """Batched serving path: encode_batch/decode_batch must agree with the
+    per-image path bit-for-bit (the per-slice device round trip is paid
+    once per slice for the whole batch), including decoding a blob from a
+    batched encode individually (cross-batch-size determinism of the
+    stats convs is load-bearing for the format)."""
+    import jax
+    import jax.numpy as jnp
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+
+    key = jax.random.PRNGKey(0)
+    mask_model, rgb_model = MaskCodec(), RGBCodec()
+    d = synthetic_rgba_batch(3, 64, 64, seed=7)
+    # image 1 opaque: exercises the per-image mask-stream flag in a batch
+    d["alpha"][1] = 1.0
+    d["masked_image"][1] = d["image"][1]
+    mask = jnp.asarray(d["alpha"][:1])
+    x = jnp.asarray(d["masked_image"][:1])
+    me = mask_pyramid(mask)
+    mask_params = mask_model.init({"params": key, "noise": key}, mask,
+                                  training=False)["params"]
+    rgb_params = rgb_model.init({"params": key, "noise": key}, x, mask,
+                                mask, me, training=False)["params"]
+    codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
+                          CodecIO(mask_model, mask_params, kind="mask"))
+
+    blobs = codec.encode_batch(d["image"], d["alpha"])
+    assert len(blobs) == 3
+    rgba = codec.decode_batch(blobs)
+    assert rgba.shape == (3, 64, 64, 4)
+    np.testing.assert_array_equal(rgba[1, ..., 3], 1.0)
+
+    # per-image encode produces identical bitstreams...
+    for i in range(3):
+        blob1 = codec.encode(d["image"][i:i + 1], d["alpha"][i:i + 1])
+        assert blob1 == blobs[i], f"batched vs single encode differ (im {i})"
+    # ...and per-image decode reproduces the batched reconstruction
+    for i in range(3):
+        one = codec.decode(blobs[i])
+        np.testing.assert_allclose(one[0], rgba[i], atol=1e-6)
