@@ -83,8 +83,18 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
         codec = RGBAFileCodec(
             CodecIO(rgb_model, rgb_params, kind="rgb"),
             CodecIO(mask_model, mask_params, kind="mask"))
+
+        # forward with the container's inputs (everything gated by the
+        # recon mask) — the oracle the decoded bitstream must reproduce
+        def _codec_forward(params, x, m):
+            me = mask_pyramid(m)
+            r = rgb_model.apply({"params": params}, x, m, m, me,
+                                training=False)
+            return jnp.clip(r["x_hat"], 0.0, 1.0)
+
+        codec_forward = jax.jit(_codec_forward)
     sums = {k: 0.0 for k in ("bpp", "psnr", "msssim", "msssimdb", "time",
-                             "real_bpp")}
+                             "real_bpp", "codec_time", "codec_err")}
     n = len(ds)
     for i in range(n):
         item = ds.get(i)
@@ -99,11 +109,36 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
         bpp = float(out["bpp"])
         if codec is not None:
             h, w = item["image"].shape[:2]
+            tc0 = time.perf_counter()
             blob = codec.encode(item["image"][None], item["alpha"][None])
+            rgba = codec.decode(blob)
+            tc1 = time.perf_counter()
             real_bpp = len(blob) * 8 / (h * w)
+            # the decoded image must be the forward-quantized recon of the
+            # container's own pipeline (input masked by the recon mask,
+            # recon mask gating both transforms) — a mismatch means the
+            # bitstream diverged (reference analog: decompress() returning
+            # the same x_hat, AutoEncoderRGB_Journal.py:373-415)
+            rm = rgba[..., 3:]
+            masked = np.where(rm > 0, item["image"][None], rm)
+            x_fwd = jax.device_get(codec_forward(
+                rgb_params, jnp.asarray(masked), jnp.asarray(rm)))
+            err = float(np.abs(rgba[..., :3] - x_fwd).max())
+            if bool(np.all(item["alpha"] == 1.0)):
+                # opaque: container stores no mask stream and decodes an
+                # all-ones alpha, while the eval forward still runs the
+                # mask codec — not comparable
+                mask_err = 0.0
+            else:
+                mask_err = float(
+                    np.abs(rgba[..., 3:] - out["recon_mask"]).max())
             sums["real_bpp"] += real_bpp
-            logger.info("real bitstream: %d bytes = %.6f bpp", len(blob),
-                        real_bpp)
+            sums["codec_time"] += tc1 - tc0
+            sums["codec_err"] += max(err, mask_err)
+            logger.info(
+                "real bitstream: %d bytes = %.6f bpp (est %.6f), "
+                "enc+dec %.3fs, |dec - forward| max %.2e (mask %.2e)",
+                len(blob), real_bpp, bpp, tc1 - tc0, err, mask_err)
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         msssim = float(out["msssim"])
         msssimdb = -10 * np.log10(max(1 - msssim, 1e-12))
@@ -122,7 +157,8 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
 
     avg = {k: v / max(n, 1) for k, v in sums.items()}
     if not real_codec:
-        avg.pop("real_bpp", None)
+        for k in ("real_bpp", "codec_time", "codec_err"):
+            avg.pop(k, None)
     logger.info(
         "Dataset Average result---Time:{time:.6f}, Bpp:{bpp:.6f}, "
         "PSNR:{psnr:.6f}, MS-SSIM:{msssim:.6f}, MS-SSIM-DB:{msssimdb:.6f}"

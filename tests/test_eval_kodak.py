@@ -32,6 +32,50 @@ def test_synthetic_tree_layout():
         assert (item["masked_image"][dead] == 0).all()
 
 
+def test_evaluate_kodak_real_codec():
+    """evaluate_kodak(real_codec=True) runs the actual rANS bitstream per
+    image: the container must decode to the forward-quantized recon and
+    the byte-accurate bpp must sit near the likelihood estimate
+    (VERDICT r1 item 5; reference analog trainRGB.py:258-334 which can
+    only estimate)."""
+    from rgba_tpu.eval.kodak import evaluate_kodak
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.native import rans
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+    import jax.numpy as jnp
+
+    if not rans.available():
+        pytest.skip("native rans not built")
+
+    key = jax.random.PRNGKey(0)
+    with tempfile.TemporaryDirectory() as root:
+        write_synthetic_kodak_tree(root, n_images=1, height=192, width=256)
+
+        mask_model = MaskCodec()
+        mask = jnp.zeros((1, 192, 256, 1))
+        mask_params = mask_model.init({"params": key, "noise": key}, mask,
+                                      training=False)["params"]
+        rgb_model = RGBCodec()
+        x = jnp.zeros((1, 192, 256, 3))
+        me = mask_pyramid(mask)
+        rgb_params = rgb_model.init({"params": key, "noise": key}, x, mask,
+                                    mask, me, training=False)["params"]
+
+        avg = evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
+                             root, step=0, real_codec=True)
+        assert np.isfinite(avg["real_bpp"]) and avg["real_bpp"] > 0
+        # decoded bitstream == forward-quantized recon (8-bit scale: one
+        # quantization level is 1/255 ~ 4e-3)
+        assert avg["codec_err"] < 1e-3
+        # byte-accurate bpp close to the likelihood estimate: the container
+        # gates with the recon mask while the estimate uses the GT mask, so
+        # allow slack plus the rANS tail overhead on a tiny image
+        est = avg["bpp"]
+        assert 0.5 * est < avg["real_bpp"] < 1.5 * est + 0.1
+        assert avg["codec_time"] > 0
+
+
 def test_evaluate_kodak_end_to_end():
     from rgba_tpu.eval.kodak import evaluate_kodak
     from rgba_tpu.models.mask_codec import MaskCodec
