@@ -24,10 +24,16 @@ class Policy:
     compute_dtype: Any = jnp.float32   # set bfloat16 for TPU speed
     entropy_dtype: Any = jnp.float32   # likelihood math stays fp32
     precision: Any = jax.lax.Precision.HIGHEST
-    # inference-only: route masked window attention / the DSE tail through
-    # fused Pallas kernels (no custom VJP yet — keep False for training)
+    # inference-only: route masked window attention / the DSE tail / the
+    # gated ResidualUnit chains through fused Pallas kernels (no custom
+    # VJP yet — keep False for training)
     fused_win_attn: bool = False
     fused_dse: bool = False
+    fused_gate_chain: bool = False
+
+    @property
+    def gelu_kind(self) -> str:
+        return "gelu_erf" if self.compute_dtype == jnp.float32 else "gelu_tanh"
 
     def cast_in(self, x):
         return x.astype(self.compute_dtype)

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.precision import Policy, DEFAULT_POLICY
-from .conv import Conv
 from .window import (
     relative_position_index,
     swin_attention_bias,
@@ -180,6 +179,38 @@ class MaskedWinBlock(nn.Module):
         return shortcut + out
 
 
+class _ConvP(nn.Module):
+    """Param-only conv declaration: same tree path, shape and initializer
+    as the Conv module (ops/conv.py), so checkpoints and the torch
+    importer are unaffected — but the parent can hand the raw matrices to
+    a fused Pallas kernel."""
+
+    k: int
+    cin: int
+    cout: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (self.k, self.k, self.cin, self.cout), self.policy.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,),
+                          self.policy.param_dtype)
+        return {"kernel": kernel, "bias": bias}
+
+
+def _conv_apply(x, p, policy, pad):
+    """Same math as the Conv module (stride 1)."""
+    dt = policy.compute_dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), p["kernel"].astype(dt), (1, 1),
+        ((pad, pad), (pad, pad)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=policy.precision)
+    return y + p["bias"].astype(dt)
+
+
 class ResidualUnit(nn.Module):
     """conv1x1(N->N/2) GELU conv3x3 GELU conv1x1(N/2->N) + skip, then GELU
     (Masked_Attention.py:150-169)."""
@@ -187,17 +218,23 @@ class ResidualUnit(nn.Module):
     dim: int
     policy: Policy = DEFAULT_POLICY
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         n = self.dim
-        y = Conv(n // 2, kernel_size=1, stride=1, policy=self.policy,
-                 name="conv0")(x)
+        self.conv0 = _ConvP(1, n, n // 2, policy=self.policy)
+        self.conv1 = _ConvP(3, n // 2, n // 2, policy=self.policy)
+        self.conv2 = _ConvP(1, n // 2, n, policy=self.policy)
+
+    def param_dict(self):
+        return {"conv0": self.conv0(), "conv1": self.conv1(),
+                "conv2": self.conv2()}
+
+    def __call__(self, x):
+        p = self.param_dict()
+        y = _conv_apply(x, p["conv0"], self.policy, 0)
         y = self.policy.gelu(y)
-        y = Conv(n // 2, kernel_size=3, stride=1, policy=self.policy,
-                 name="conv1")(y)
+        y = _conv_apply(y, p["conv1"], self.policy, 1)
         y = self.policy.gelu(y)
-        y = Conv(n, kernel_size=1, stride=1, policy=self.policy,
-                 name="conv2")(y)
+        y = _conv_apply(y, p["conv2"], self.policy, 0)
         return self.policy.gelu(x + y)
 
 
@@ -213,17 +250,49 @@ class WinGateAttention(nn.Module):
     shift_size: int = 0
     policy: Policy = DEFAULT_POLICY
 
-    @nn.compact
+    def setup(self):
+        # attribute names ARE the param-tree names (flax setup rule) —
+        # they must stay conv_a0/…/conv_b3 for checkpoint compatibility
+        self.conv_a0 = ResidualUnit(self.dim, policy=self.policy)
+        self.conv_a1 = ResidualUnit(self.dim, policy=self.policy)
+        self.conv_a2 = ResidualUnit(self.dim, policy=self.policy)
+        self.attn = MaskedWinBlock(self.dim, self.num_heads,
+                                   self.window_size, self.shift_size,
+                                   policy=self.policy)
+        self.conv_b0 = ResidualUnit(self.dim, policy=self.policy)
+        self.conv_b1 = ResidualUnit(self.dim, policy=self.policy)
+        self.conv_b2 = ResidualUnit(self.dim, policy=self.policy)
+        self.conv_b3 = _ConvP(1, self.dim, self.dim, policy=self.policy)
+
     def __call__(self, x, alpha=None):
+        a_units = (self.conv_a0, self.conv_a1, self.conv_a2)
+        b_units = (self.conv_b0, self.conv_b1, self.conv_b2)
+        b = self.attn(x, alpha)
+
+        if self.policy.fused_gate_chain:
+            from .pallas.gate_chain import fused_gate_chain, gate_chain_tiles
+            if all(gate_chain_tiles(x.shape[1], x.shape[2])):
+                params = {f"conv_a{i}": a_units[i].param_dict()
+                          for i in range(3)}
+                params.update({f"conv_b{i}": b_units[i].param_dict()
+                               for i in range(3)})
+                params["conv_b3"] = self.conv_b3()
+                dt = self.policy.compute_dtype
+                return fused_gate_chain(
+                    x.astype(dt), b.astype(dt), params,
+                    act=self.policy.gelu_kind, post_act=True,
+                    trunk_names=("conv_a0", "conv_a1", "conv_a2"),
+                    gate_names=("conv_b0", "conv_b1", "conv_b2"),
+                    block_keys=("conv0", "conv1", "conv2"),
+                    final_name="conv_b3",
+                    interpret=jax.default_backend() != "tpu")
+
         a = x
-        for i in range(3):
-            a = ResidualUnit(self.dim, policy=self.policy, name=f"conv_a{i}")(a)
-        b = MaskedWinBlock(self.dim, self.num_heads, self.window_size,
-                           self.shift_size, policy=self.policy, name="attn")(x, alpha)
-        for i in range(3):
-            b = ResidualUnit(self.dim, policy=self.policy, name=f"conv_b{i}")(b)
-        b = Conv(self.dim, kernel_size=1, stride=1, policy=self.policy,
-                 name="conv_b3")(b)
+        for u in a_units:
+            a = u(a)
+        for u in b_units:
+            b = u(b)
+        b = _conv_apply(b, self.conv_b3(), self.policy, 0)
         return x + a * jax.nn.sigmoid(b)
 
 
@@ -233,17 +302,21 @@ class ResBlock(nn.Module):
     dim: int
     policy: Policy = DEFAULT_POLICY
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         n = self.dim
-        y = Conv(n // 2, kernel_size=1, stride=1, policy=self.policy,
-                 name="conv1")(x)
-        y = jax.nn.relu(y)
-        y = Conv(n // 2, kernel_size=3, stride=1, policy=self.policy,
-                 name="conv2")(y)
-        y = jax.nn.relu(y)
-        y = Conv(n, kernel_size=1, stride=1, policy=self.policy,
-                 name="conv3")(y)
+        self.conv1 = _ConvP(1, n, n // 2, policy=self.policy)
+        self.conv2 = _ConvP(3, n // 2, n // 2, policy=self.policy)
+        self.conv3 = _ConvP(1, n // 2, n, policy=self.policy)
+
+    def param_dict(self):
+        return {"conv1": self.conv1(), "conv2": self.conv2(),
+                "conv3": self.conv3()}
+
+    def __call__(self, x):
+        p = self.param_dict()
+        y = jax.nn.relu(_conv_apply(x, p["conv1"], self.policy, 0))
+        y = jax.nn.relu(_conv_apply(y, p["conv2"], self.policy, 1))
+        y = _conv_apply(y, p["conv3"], self.policy, 0)
         return x + y
 
 
@@ -254,16 +327,46 @@ class SimplifiedAttention(nn.Module):
     dim: int
     policy: Policy = DEFAULT_POLICY
 
-    @nn.compact
+    def setup(self):
+        self.trunk_ResBlock1 = ResBlock(self.dim, policy=self.policy)
+        self.trunk_ResBlock2 = ResBlock(self.dim, policy=self.policy)
+        self.trunk_ResBlock3 = ResBlock(self.dim, policy=self.policy)
+        self.attention_ResBlock1 = ResBlock(self.dim, policy=self.policy)
+        self.attention_ResBlock2 = ResBlock(self.dim, policy=self.policy)
+        self.attention_ResBlock3 = ResBlock(self.dim, policy=self.policy)
+        self.conv1 = _ConvP(1, self.dim, self.dim, policy=self.policy)
+
     def __call__(self, x):
+        trunk = (self.trunk_ResBlock1, self.trunk_ResBlock2,
+                 self.trunk_ResBlock3)
+        att = (self.attention_ResBlock1, self.attention_ResBlock2,
+               self.attention_ResBlock3)
+
+        if self.policy.fused_gate_chain:
+            from .pallas.gate_chain import fused_gate_chain, gate_chain_tiles
+            if all(gate_chain_tiles(x.shape[1], x.shape[2])):
+                params = {f"trunk_ResBlock{i + 1}": trunk[i].param_dict()
+                          for i in range(3)}
+                params.update({
+                    f"attention_ResBlock{i + 1}": att[i].param_dict()
+                    for i in range(3)})
+                params["conv1"] = self.conv1()
+                return fused_gate_chain(
+                    x.astype(self.policy.compute_dtype), None, params,
+                    act="relu", post_act=False,
+                    trunk_names=("trunk_ResBlock1", "trunk_ResBlock2",
+                                 "trunk_ResBlock3"),
+                    gate_names=("attention_ResBlock1", "attention_ResBlock2",
+                                "attention_ResBlock3"),
+                    block_keys=("conv1", "conv2", "conv3"),
+                    final_name="conv1",
+                    interpret=jax.default_backend() != "tpu")
+
         t = x
-        for i in range(1, 4):
-            t = ResBlock(self.dim, policy=self.policy,
-                         name=f"trunk_ResBlock{i}")(t)
+        for u in trunk:
+            t = u(t)
         a = x
-        for i in range(1, 4):
-            a = ResBlock(self.dim, policy=self.policy,
-                         name=f"attention_ResBlock{i}")(a)
-        a = Conv(self.dim, kernel_size=1, stride=1, policy=self.policy,
-                 name="conv1")(a)
+        for u in att:
+            a = u(a)
+        a = _conv_apply(a, self.conv1(), self.policy, 0)
         return x + jax.nn.sigmoid(a) * t

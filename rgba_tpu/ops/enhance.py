@@ -96,7 +96,7 @@ class DSE(nn.Module):
         h, w = x.shape[1], x.shape[2]
         if self.policy.fused_dse:
             th = 64 if h % 64 == 0 else 0
-            tw = 32 if w % 32 == 0 else 0
+            tw = 64 if w % 64 == 0 else 0
             if th and tw:
                 from .pallas.dse import fused_dse
                 interpret = jax.default_backend() != "tpu"

@@ -7,17 +7,21 @@ full image resolution.  XLA's conv lowering achieves ~6% MXU on C=32
 depth is only 32 lanes.  This kernel fuses the whole chain: the 3x3 convs
 become im2col matmuls with K=9*32=288 assembled in VMEM (never
 materialized in HBM), and all six convs + residuals + the 1x1 in/out convs
-happen in one HBM read/write pass per image.
+happen in one HBM read/write pass per tile.
 
-Layout notes (v5e, bf16 tiles (16,128)):
-  * the image I/O blocks are CHANNELS-LEADING (1, C, H, W) so the tiny
-    1-3 channel dim never sits on the 128-lane axis (NHWC blocks would pad
-    VMEM 42x and blow the 16 MB budget);
-  * intermediates are channels-last (rows, cols, 32) for the matmuls;
+Structure (v2 — the round-1 version put the whole padded image in one VMEM
+block, which exceeds VMEM at Kodak size):
+  * XLA pre-extracts overlapping halo tiles (cheap: the DSE input has only
+    1-3 channels) into (B, nth, ntw, cio, th+12, tw+12), channels-leading
+    so the tiny channel dim never pads the 128-lane axis;
+  * the Pallas grid walks (B, nth, ntw) with one tile per step — small
+    blocks, Pallas double-buffers the HBM->VMEM pipeline automatically;
   * im2col patches go through a VMEM scratch because Mosaic cannot
     concatenate slices whose layouts carry different sublane offsets;
-  * the spatial tile walk is a fori_loop (a Python unroll at 192 tiles
-    made the Mosaic compile explode).
+  * border masking uses the absolute tile origin from pl.program_id (the
+    XLA chain zero-pads every conv's *intermediate* input at the image
+    border; in the tiled kernel those frame positions would hold
+    bias-valued activations unless masked out).
 
 Inference path (no custom VJP) — training uses the XLA formulation.
 """
@@ -52,71 +56,58 @@ def _kernel(x_ref, w_in, b_in, w11, b11, w12, b12, w21, b21, w22, b22,
             th: int, tw: int, cio: int, leaky: bool, img_h: int, img_w: int):
     dt = x_ref.dtype
     ph, pw = th + 2 * HALO, tw + 2 * HALO
-    ntw = img_w // tw
-    ntiles = (img_h // th) * ntw
+    r_base = pl.program_id(1) * th
+    c_base = pl.program_id(2) * tw
 
     def act(v):
         return jax.nn.leaky_relu(v, 0.01) if leaky else jax.nn.relu(v)
 
-    def tile_body(t, _):
-        ti = t // ntw
-        tj = t % ntw
-        r_base = ti * th
-        c_base = tj * tw
-        # per-channel (ph, pw) planes from the channels-leading block
-        x_c = [x_ref[0, c, pl.ds(r_base, ph), pl.ds(c_base, pw)]
-               for c in range(cio)]
+    # per-channel (ph, pw) planes from the channels-leading block
+    x_c = [x_ref[0, 0, 0, c] for c in range(cio)]
 
-        def inside(vals, r):
-            """Zero activations outside the image: the XLA chain zero-pads
-            every conv's *intermediate* input at the image border; in the
-            tiled kernel those frame positions hold bias-valued activations
-            unless masked out."""
-            nr, nc = vals.shape[0], vals.shape[1]
-            r0 = r_base + (HALO - r)
-            c0 = c_base + (HALO - r)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (nr, nc, 1), 0) + r0
-            cols = jax.lax.broadcasted_iota(jnp.int32, (nr, nc, 1), 1) + c0
-            ok = ((rows >= HALO) & (rows < HALO + img_h) &
-                  (cols >= HALO) & (cols < HALO + img_w))
-            return jnp.where(ok, vals, jnp.zeros_like(vals))
+    def inside(vals, r):
+        """Zero activations outside the image (see module docstring)."""
+        nr, nc = vals.shape[0], vals.shape[1]
+        r0 = r_base + (HALO - r)
+        c0 = c_base + (HALO - r)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nr, nc, 1), 0) + r0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (nr, nc, 1), 1) + c0
+        ok = ((rows >= HALO) & (rows < HALO + img_h) &
+              (cols >= HALO) & (cols < HALO + img_w))
+        return jnp.where(ok, vals, jnp.zeros_like(vals))
 
-        # input 1x1 conv as fp32 broadcast-accumulate (K = cio is tiny)
-        h0 = b_in[:].reshape(1, 1, FILTERS) * jnp.ones(
-            (ph, pw, 1), jnp.float32)
-        for c in range(cio):
-            h0 = h0 + x_c[c].astype(jnp.float32)[:, :, None] * \
-                w_in[c, :][None, None, :]
-        first = inside(h0, HALO).astype(dt)
+    # input 1x1 conv as fp32 broadcast-accumulate (K = cio is tiny)
+    h0 = b_in[:].reshape(1, 1, FILTERS) * jnp.ones((ph, pw, 1), jnp.float32)
+    for c in range(cio):
+        h0 = h0 + x_c[c].astype(jnp.float32)[:, :, None] * \
+            w_in[c, :][None, None, :]
+    first = inside(h0, HALO).astype(dt)
 
-        def enh(tt, wa, ba, wb, bb, r):
-            oh, ow = th + 2 * r, tw + 2 * r
-            c1 = act(inside(_conv3x3(tt, wa, ba, oh + 2, ow + 2,
-                                     patches_ref), r + 1)).astype(dt)
-            c2 = _conv3x3(c1, wb, bb, oh, ow, patches_ref)
-            out = c2 + tt[2:2 + oh, 2:2 + ow, :].astype(jnp.float32)
-            return inside(out, r).astype(dt)
+    def enh(tt, wa, ba, wb, bb, r):
+        oh, ow = th + 2 * r, tw + 2 * r
+        c1 = act(inside(_conv3x3(tt, wa, ba, oh + 2, ow + 2,
+                                 patches_ref), r + 1)).astype(dt)
+        c2 = _conv3x3(c1, wb, bb, oh, ow, patches_ref)
+        out = c2 + tt[2:2 + oh, 2:2 + ow, :].astype(jnp.float32)
+        return inside(out, r).astype(dt)
 
-        t1 = enh(first, w11, b11, w12, b12, 4)
-        t2 = enh(t1, w21, b21, w22, b22, 2)
-        t3 = enh(t2, w31, b31, w32, b32, 0)            # (th, tw, 32)
-        merged = t3.astype(jnp.float32) + \
-            first[HALO:HALO + th, HALO:HALO + tw, :].astype(jnp.float32)
-        out = jnp.dot(merged.reshape(th * tw, FILTERS).astype(dt), w_out[:],
-                      preferred_element_type=jnp.float32) + b_out[:]
-        out = out.reshape(th, tw, cio)
-        for c in range(cio):
-            out_c = out[:, :, c] + \
-                x_c[c][HALO:HALO + th, HALO:HALO + tw].astype(jnp.float32)
-            o_ref[0, c, pl.ds(r_base, th), pl.ds(c_base, tw)] = \
-                out_c.astype(o_ref.dtype)
-        return _
-
-    jax.lax.fori_loop(0, ntiles, tile_body, None)
+    t1 = enh(first, w11, b11, w12, b12, 4)
+    t2 = enh(t1, w21, b21, w22, b22, 2)
+    t3 = enh(t2, w31, b31, w32, b32, 0)            # (th, tw, 32)
+    merged = t3.astype(jnp.float32) + \
+        first[HALO:HALO + th, HALO:HALO + tw, :].astype(jnp.float32)
+    out = jnp.dot(merged.reshape(th * tw, FILTERS).astype(dt), w_out[:],
+                  preferred_element_type=jnp.float32) + b_out[:]
+    out = out.reshape(th, tw, cio)
+    for c in range(cio):
+        o_ref[0, 0, 0, c] = (
+            out[:, :, c] +
+            x_c[c][HALO:HALO + th, HALO:HALO + tw].astype(jnp.float32)
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("leaky", "tile", "interpret"))
-def fused_dse(x, params, *, leaky: bool = False, tile=(64, 32),
+def fused_dse(x, params, *, leaky: bool = False, tile=(64, 64),
               interpret: bool = False):
     """x: (B, H, W, Cio); params: dict with input_conv/enh{1,2,3}/output_conv
     weight matrices (see wrapper in ops/enhance.py). Returns (B, H, W, Cio).
@@ -124,10 +115,17 @@ def fused_dse(x, params, *, leaky: bool = False, tile=(64, 32),
     bsz, h, w, cio = x.shape
     th, tw = tile
     assert h % th == 0 and w % tw == 0, (h, w, tile)
+    nth, ntw = h // th, w // tw
     dt = x.dtype
 
     xp = jnp.pad(x, ((0, 0), (HALO, HALO), (HALO, HALO), (0, 0)))
-    xp = xp.transpose(0, 3, 1, 2)                # (B, Cio, H+12, W+12)
+    # overlapping halo tiles, channels-leading: (B, nth, ntw, cio, ph, pw)
+    ph, pw = th + 2 * HALO, tw + 2 * HALO
+    rows = [xp[:, i * th:i * th + ph] for i in range(nth)]
+    tiles = jnp.stack(
+        [jnp.stack([r[:, :, j * tw:j * tw + pw] for j in range(ntw)], axis=1)
+         for r in rows], axis=1)                 # (B, nth, ntw, ph, pw, cio)
+    tiles = tiles.transpose(0, 1, 2, 5, 3, 4)    # channels-leading
 
     def rw(wk):   # (3,3,32,32) HWIO -> (288, 32), compute dtype
         return wk.reshape(9 * FILTERS, FILTERS).astype(dt)
@@ -148,17 +146,18 @@ def fused_dse(x, params, *, leaky: bool = False, tile=(64, 32),
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
     out = pl.pallas_call(
         kern,
-        grid=(bsz,),
-        in_specs=[pl.BlockSpec((1, cio, h + 2 * HALO, w + 2 * HALO),
-                               lambda b: (b, 0, 0, 0),
+        grid=(bsz, nth, ntw),
+        in_specs=[pl.BlockSpec((1, 1, 1, cio, ph, pw),
+                               lambda b, i, j: (b, i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM)] + w_specs,
-        out_specs=pl.BlockSpec((1, cio, h, w), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, cio, th, tw),
+                               lambda b, i, j: (b, i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, cio, h, w), dt),
+        out_shape=jax.ShapeDtypeStruct((bsz, nth, ntw, cio, th, tw), dt),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * HALO - 2, tw + 2 * HALO - 2, 9 * FILTERS),
-                       dt),
+            pltpu.VMEM((ph - 2, pw - 2, 9 * FILTERS), dt),
         ],
         interpret=interpret,
-    )(xp, *args)
-    return out.transpose(0, 2, 3, 1)             # back to NHWC
+    )(tiles, *args)
+    # (B, nth, ntw, cio, th, tw) -> (B, H, W, cio)
+    return out.transpose(0, 1, 4, 2, 5, 3).reshape(bsz, h, w, cio)
