@@ -69,10 +69,15 @@ class WindowAttention(nn.Module):
         rel_idx = relative_position_index(self.window_size)
 
         if fused is not None:
-            # Pallas kernel path (inference): fused qkv/scores/softmax/PV/
-            # proj/alive-gating in one VMEM-resident pass.
+            # Pallas kernel path: fused qkv/scores/softmax/PV/proj/
+            # alive-gating in one VMEM-resident pass.  Trainable via the
+            # remat-VJP wrapper (backward = jax.vjp of the dense
+            # formulation below, recomputed from the saved inputs).
+            from .pallas.remat_vjp import fused_primal_xla_grad
             from .pallas.win_attn import fused_window_attention
             region, alive = fused
+            region = jax.lax.stop_gradient(region)
+            alive = jax.lax.stop_gradient(alive)
             rel_bias = table[rel_idx.reshape(-1)].reshape(n, n, nh)
             rel_bias = rel_bias.transpose(2, 0, 1).astype(jnp.float32)
             interpret = jax.default_backend() != "tpu"
@@ -80,12 +85,42 @@ class WindowAttention(nn.Module):
             # budget at N=64 is the binding constraint; small windows can
             # batch more)
             wg = max(16, 1024 // n)
-            return fused_window_attention(
-                x.astype(dtype), region, alive,
-                wqkv.astype(dtype), bqkv.astype(jnp.float32),
-                wproj.astype(dtype), bproj.astype(jnp.float32),
-                rel_bias, num_heads=nh, window_group=wg,
-                interpret=interpret)
+
+            def xla_equiv(xx, wq, bq, wp, bp, rb):
+                """Dense formulation of the fused kernel's semantics:
+                region-id additive mask + alive output gate."""
+                qkv_ = jnp.einsum("wnc,cd->wnd", xx, wq.astype(dtype),
+                                  precision=self.policy.precision) + \
+                    bq.astype(dtype)
+                q_ = qkv_[..., :c].reshape(nwb, n, nh, hd)
+                k_ = qkv_[..., c:2 * c].reshape(nwb, n, nh, hd)
+                v_ = qkv_[..., 2 * c:].reshape(nwb, n, nh, hd)
+                sdt = jnp.float32 if dtype == jnp.float32 else dtype
+                s = jnp.einsum("wnhd,wmhd->whnm", q_ * scale, k_,
+                               preferred_element_type=sdt,
+                               precision=self.policy.precision)
+                s = s + rb[None].astype(sdt)
+                same = region[:, None, :] == region[:, :, None]
+                s = s + jnp.where(same, 0.0, -100.0)[:, None].astype(sdt)
+                p_ = jax.nn.softmax(s.astype(jnp.float32),
+                                    axis=-1).astype(dtype)
+                o = jnp.einsum("whnm,wmhd->wnhd", p_, v_,
+                               preferred_element_type=sdt,
+                               precision=self.policy.precision)
+                o = o.astype(dtype).reshape(nwb, n, c)
+                o = jnp.einsum("wnc,cd->wnd", o, wp.astype(dtype),
+                               precision=self.policy.precision) + \
+                    bp.astype(dtype)
+                return o * alive[:, :, None].astype(dtype)
+
+            return fused_primal_xla_grad(
+                lambda xx, wq, bq, wp, bp, rb: fused_window_attention(
+                    xx, region, alive, wq.astype(dtype),
+                    bq.astype(jnp.float32), wp.astype(dtype),
+                    bp.astype(jnp.float32), rb, num_heads=nh,
+                    window_group=wg, interpret=interpret),
+                xla_equiv,
+                (x.astype(dtype), wqkv, bqkv, wproj, bproj, rel_bias))
 
         qkv = jnp.einsum("wnc,cd->wnd", x.astype(dtype), wqkv.astype(dtype),
                          precision=self.policy.precision) + bqkv.astype(dtype)
@@ -211,6 +246,33 @@ def _conv_apply(x, p, policy, pad):
     return y + p["bias"].astype(dt)
 
 
+def gate_chain_xla(x, g, params, *, act, post_act, trunk_names, gate_names,
+                   block_keys, final_name, policy):
+    """Plain XLA formulation of the fused gate chain (pure function of the
+    params dict) — the rematerialized backward of ops/pallas/gate_chain.py
+    and its numerical reference.  Math: Masked_Attention.py:143-189 /
+    AutoEncoderMask_Journal.py:112-136."""
+    def act_fn(v):
+        if act == "relu":
+            return jax.nn.relu(v)
+        return jax.nn.gelu(v, approximate=(act == "gelu_tanh"))
+
+    def chain(t, names):
+        for nm in names:
+            p = params[nm]
+            y = act_fn(_conv_apply(t, p[block_keys[0]], policy, 0))
+            y = act_fn(_conv_apply(y, p[block_keys[1]], policy, 1))
+            y = _conv_apply(y, p[block_keys[2]], policy, 0)
+            out = t + y
+            t = act_fn(out) if post_act else out
+        return t
+
+    trunk = chain(x, trunk_names)
+    gate = chain(x if g is None else g, gate_names)
+    fin = _conv_apply(gate, params[final_name], policy, 0)
+    return x + trunk * jax.nn.sigmoid(fin)
+
+
 class ResidualUnit(nn.Module):
     """conv1x1(N->N/2) GELU conv3x3 GELU conv1x1(N/2->N) + skip, then GELU
     (Masked_Attention.py:150-169)."""
@@ -271,6 +333,7 @@ class WinGateAttention(nn.Module):
 
         if self.policy.fused_gate_chain:
             from .pallas.gate_chain import fused_gate_chain, gate_chain_tiles
+            from .pallas.remat_vjp import fused_primal_xla_grad
             if all(gate_chain_tiles(x.shape[1], x.shape[2])):
                 params = {f"conv_a{i}": a_units[i].param_dict()
                           for i in range(3)}
@@ -278,14 +341,18 @@ class WinGateAttention(nn.Module):
                                for i in range(3)})
                 params["conv_b3"] = self.conv_b3()
                 dt = self.policy.compute_dtype
-                return fused_gate_chain(
-                    x.astype(dt), b.astype(dt), params,
-                    act=self.policy.gelu_kind, post_act=True,
-                    trunk_names=("conv_a0", "conv_a1", "conv_a2"),
-                    gate_names=("conv_b0", "conv_b1", "conv_b2"),
-                    block_keys=("conv0", "conv1", "conv2"),
-                    final_name="conv_b3",
-                    interpret=jax.default_backend() != "tpu")
+                kw = dict(act=self.policy.gelu_kind, post_act=True,
+                          trunk_names=("conv_a0", "conv_a1", "conv_a2"),
+                          gate_names=("conv_b0", "conv_b1", "conv_b2"),
+                          block_keys=("conv0", "conv1", "conv2"),
+                          final_name="conv_b3")
+                return fused_primal_xla_grad(
+                    lambda xx, bb, pp: fused_gate_chain(
+                        xx, bb, pp,
+                        interpret=jax.default_backend() != "tpu", **kw),
+                    lambda xx, bb, pp: gate_chain_xla(
+                        xx, bb, pp, policy=self.policy, **kw),
+                    (x.astype(dt), b.astype(dt), params))
 
         a = x
         for u in a_units:
@@ -344,6 +411,7 @@ class SimplifiedAttention(nn.Module):
 
         if self.policy.fused_gate_chain:
             from .pallas.gate_chain import fused_gate_chain, gate_chain_tiles
+            from .pallas.remat_vjp import fused_primal_xla_grad
             if all(gate_chain_tiles(x.shape[1], x.shape[2])):
                 params = {f"trunk_ResBlock{i + 1}": trunk[i].param_dict()
                           for i in range(3)}
@@ -351,16 +419,21 @@ class SimplifiedAttention(nn.Module):
                     f"attention_ResBlock{i + 1}": att[i].param_dict()
                     for i in range(3)})
                 params["conv1"] = self.conv1()
-                return fused_gate_chain(
-                    x.astype(self.policy.compute_dtype), None, params,
-                    act="relu", post_act=False,
-                    trunk_names=("trunk_ResBlock1", "trunk_ResBlock2",
-                                 "trunk_ResBlock3"),
-                    gate_names=("attention_ResBlock1", "attention_ResBlock2",
-                                "attention_ResBlock3"),
-                    block_keys=("conv1", "conv2", "conv3"),
-                    final_name="conv1",
-                    interpret=jax.default_backend() != "tpu")
+                kw = dict(act="relu", post_act=False,
+                          trunk_names=("trunk_ResBlock1", "trunk_ResBlock2",
+                                       "trunk_ResBlock3"),
+                          gate_names=("attention_ResBlock1",
+                                      "attention_ResBlock2",
+                                      "attention_ResBlock3"),
+                          block_keys=("conv1", "conv2", "conv3"),
+                          final_name="conv1")
+                return fused_primal_xla_grad(
+                    lambda xx, pp: fused_gate_chain(
+                        xx, None, pp,
+                        interpret=jax.default_backend() != "tpu", **kw),
+                    lambda xx, pp: gate_chain_xla(
+                        xx, None, pp, policy=self.policy, **kw),
+                    (x.astype(self.policy.compute_dtype), params))
 
         t = x
         for u in trunk:

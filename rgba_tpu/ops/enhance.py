@@ -75,6 +75,23 @@ class EnhancementBlock(nn.Module):
         return x + y
 
 
+def dse_xla(x, params, policy, leaky):
+    """Plain XLA conv chain (TransformRGB.py:16-49 math) as a pure function
+    of the params dict — the training path, and the rematerialized backward
+    of the fused kernel."""
+    identity = x
+    first = _conv(x, params["input_conv"], policy, 0)
+    y = first
+    for k in ("enh1", "enh2", "enh3"):
+        z = _conv(y, params[k]["conv1"], policy, 1)
+        z = jax.nn.leaky_relu(z, 0.01) if leaky else jax.nn.relu(z)
+        z = _conv(z, params[k]["conv2"], policy, 1)
+        y = y + z
+    y = y + first
+    y = _conv(y, params["output_conv"], policy, 0)
+    return y + identity
+
+
 class DSE(nn.Module):
     in_ch: int = 3
     filters: int = 32
@@ -99,19 +116,15 @@ class DSE(nn.Module):
             tw = 64 if w % 64 == 0 else 0
             if th and tw:
                 from .pallas.dse import fused_dse
+                from .pallas.remat_vjp import fused_primal_xla_grad
                 interpret = jax.default_backend() != "tpu"
-                return fused_dse(x.astype(self.policy.compute_dtype), params,
-                                 leaky=self.leaky, tile=(th, tw),
-                                 interpret=interpret)
+                dt = self.policy.compute_dtype
+                return fused_primal_xla_grad(
+                    lambda xx, pp: fused_dse(xx, pp, leaky=self.leaky,
+                                             tile=(th, tw),
+                                             interpret=interpret),
+                    lambda xx, pp: dse_xla(xx, pp, self.policy,
+                                           self.leaky).astype(dt),
+                    (x.astype(dt), params))
 
-        identity = x
-        first = _conv(x, params["input_conv"], self.policy, 0)
-        y = first
-        for k in ("enh1", "enh2", "enh3"):
-            z = _conv(y, params[k]["conv1"], self.policy, 1)
-            z = jax.nn.leaky_relu(z, 0.01) if self.leaky else jax.nn.relu(z)
-            z = _conv(z, params[k]["conv2"], self.policy, 1)
-            y = y + z
-        y = y + first
-        y = _conv(y, params["output_conv"], self.policy, 0)
-        return y + identity
+        return dse_xla(x, params, self.policy, self.leaky)
