@@ -58,17 +58,23 @@ def main_codec():
     codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
                           CodecIO(mask_model, mask_params, kind="mask"))
 
+    # 8-bit edges: serving takes uint8 RGBA in and returns uint8 RGBA out
+    # (the reference eval reads PNGs and writes PNGs, trainRGB.py:269,300);
+    # float<->uint8 conversion happens on-device, transfers are 1/4 size
+    datas = [{k: np.round(v * 255.0).astype(np.uint8) for k, v in d.items()}
+             for d in datas]
+
     # warm-up: compiles all passes; also correctness-probe the round trip
     blobs = codec.encode_batch(datas[0]["image"], datas[0]["alpha"])
-    rgba = codec.decode_batch(blobs)
-    assert np.isfinite(rgba).all()
+    rgba = codec.decode_batch(blobs, output="uint8")
+    assert rgba.dtype == np.uint8 and rgba.shape[-1] == 4
 
     t0 = time.perf_counter()
     nbytes = 0
     for i in range(iters):
         blobs = codec.encode_batch(datas[i]["image"], datas[i]["alpha"])
         nbytes += sum(len(b) for b in blobs)
-        rgba = codec.decode_batch(blobs)
+        rgba = codec.decode_batch(blobs, output="uint8")
     np.asarray(rgba).sum()  # everything is host-side already
     dt = time.perf_counter() - t0
 

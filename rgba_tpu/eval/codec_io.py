@@ -238,10 +238,16 @@ class CodecIO:
         return list(self._pool.map(code_one, range(batch)))
 
     def decompress_batch(self, compressed: Sequence[dict],
-                         mask: Optional[np.ndarray] = None) -> np.ndarray:
+                         mask: Optional[np.ndarray] = None,
+                         device: bool = False) -> np.ndarray:
         """Batched decompress of same-shaped streams. The slice loop runs
         once for the whole batch: one fused device dispatch + one index
-        fetch per slice, with the B rANS streams decoded on host threads."""
+        fetch per slice, with the B rANS streams decoded on host threads.
+
+        device=True returns the reconstruction as a device array (no host
+        fetch) so callers can keep post-processing on-chip — the container
+        uses this to chain mask-decode -> constraint -> RGB gating without
+        host round trips."""
         batch = len(compressed)
         zh, zw = compressed[0]["shape"]
         assert all(c["shape"] == (zh, zw) for c in compressed), \
@@ -292,6 +298,8 @@ class CodecIO:
             x_hat = self._decode_image_fn(self.params, y_hat, md[1], md[2])
         else:
             x_hat = self._decode_image_fn(self.params, y_hat)
+        if device:
+            return x_hat
         return np.asarray(jax.device_get(x_hat))
 
     def compress(self, image: Optional[np.ndarray] = None,

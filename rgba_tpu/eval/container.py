@@ -75,6 +75,13 @@ class RGBAFileCodec:
     def __init__(self, rgb_io, mask_io):
         self.rgb_io = rgb_io
         self.mask_io = mask_io
+        self._jits = {}
+
+    def _jit(self, name, fn):
+        if name not in self._jits:
+            import jax
+            self._jits[name] = jax.jit(fn)
+        return self._jits[name]
 
     def encode(self, image: np.ndarray, alpha: np.ndarray) -> bytes:
         """image: (1,H,W,3) float32; alpha: (1,H,W,1) float32."""
@@ -90,30 +97,57 @@ class RGBAFileCodec:
                      alphas: np.ndarray) -> list[bytes]:
         """Compress B same-shaped RGBA images in one batched device pass
         per stage (the per-slice autoregression cost is paid once for the
-        whole batch). Returns one container blob per image."""
+        whole batch). Returns one container blob per image.
+
+        Device-resident pipeline: the image/alpha cross to the device ONCE;
+        mask reconstruction, 8-bit re-round, constraint() and RGB gating all
+        stay on-chip (the reference ping-pongs these through host numpy,
+        AutoEncoderRGB_Journal.py:312-340).  uint8 inputs are accepted and
+        converted on-device (8-bit edges — a quarter the transfer bytes)."""
         import jax.numpy as jnp
         from ..ops.morphology import constraint_rgb
 
         b, h, w = images.shape[:3]
-        opaque = [bool(np.all(alphas[i] == 1.0)) for i in range(b)]
+        one = 255 if alphas.dtype == np.uint8 else 1.0
+        opaque = [bool(np.all(alphas[i] == one)) for i in range(b)]
         non_op = [i for i in range(b) if not opaque[i]]
-        recon_mask = np.ones_like(alphas)
+
+        to_float = self._jit("to_float", lambda v: (
+            v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8
+            else v))
+        x_dev = to_float(jnp.asarray(images))
+        a_dev = to_float(jnp.asarray(alphas))
+
         mask_comps: dict[int, dict] = {}
         if non_op:
-            comps = self.mask_io.compress_batch(mask=alphas[non_op])
-            rm = self.mask_io.decompress_batch(comps)
-            rm = np.round(np.clip(rm, 0, 1) * 255.0) / 255.0
-            rm = np.asarray(constraint_rgb(jnp.asarray(rm)))
-            for k, i in enumerate(non_op):
-                recon_mask[i] = rm[k]
-                mask_comps[i] = comps[k]
-        masked = np.where(recon_mask > 0, images, recon_mask)
+            comps = self.mask_io.compress_batch(mask=a_dev[jnp.asarray(non_op)])
+            rm_sub = self.mask_io.decompress_batch(comps, device=True)
+            mask_comps = dict(zip(non_op, comps))
+
+            def scatter_post(x, rm_s):
+                rm_s = jnp.round(jnp.clip(rm_s, 0, 1) * 255.0) / 255.0
+                rm_s = constraint_rgb(rm_s)
+                rm = jnp.ones((b, h, w, 1), jnp.float32)
+                rm = rm.at[jnp.asarray(non_op)].set(rm_s)
+                return rm, jnp.where(rm > 0, x, rm)
+
+            recon_mask, masked = self._jit(f"enc_post{tuple(non_op)}",
+                                           scatter_post)(x_dev, rm_sub)
+        else:
+            recon_mask = jnp.ones((b, h, w, 1), jnp.float32)
+            masked = x_dev
         rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask)
         return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i))
                 for i in range(b)]
 
-    def decode_batch(self, blobs: list[bytes]) -> np.ndarray:
-        """Decode B same-shaped container blobs; returns (B, H, W, 4)."""
+    def decode_batch(self, blobs: list[bytes],
+                     output: str = "float32") -> np.ndarray:
+        """Decode B same-shaped container blobs; returns (B, H, W, 4).
+
+        output="uint8" fetches the 8-bit quantized RGBA (the PNG-writing
+        contract of the reference eval, trainRGB.py:300-311) — a quarter
+        the bytes of the float fetch; "float32" keeps the exact clipped
+        reconstruction for metric parity."""
         import jax.numpy as jnp
         from ..ops.morphology import constraint_rgb
 
@@ -122,15 +156,28 @@ class RGBAFileCodec:
         assert all(m["height"] == h and m["width"] == w for m in metas), \
             "decode_batch requires same-sized images"
         b = len(metas)
-        recon_mask = np.ones((b, h, w, 1), np.float32)
         with_mask = [i for i, m in enumerate(metas) if m["mask"] is not None]
         if with_mask:
-            rm = self.mask_io.decompress_batch(
-                [metas[i]["mask"] for i in with_mask])
-            rm = np.round(np.clip(rm, 0, 1) * 255.0) / 255.0
-            rm = np.asarray(constraint_rgb(jnp.asarray(rm)))
-            for k, i in enumerate(with_mask):
-                recon_mask[i] = rm[k]
+            rm_sub = self.mask_io.decompress_batch(
+                [metas[i]["mask"] for i in with_mask], device=True)
+
+            def scatter_mask(rm_s):
+                rm_s = jnp.round(jnp.clip(rm_s, 0, 1) * 255.0) / 255.0
+                rm_s = constraint_rgb(rm_s)
+                rm = jnp.ones((b, h, w, 1), jnp.float32)
+                return rm.at[jnp.asarray(with_mask)].set(rm_s)
+
+            recon_mask = self._jit(f"dec_mask{(b,) + tuple(with_mask)}",
+                                   scatter_mask)(rm_sub)
+        else:
+            recon_mask = jnp.ones((b, h, w, 1), jnp.float32)
         rgb = self.rgb_io.decompress_batch([m["rgb"] for m in metas],
-                                           mask=recon_mask)
-        return np.concatenate([rgb, recon_mask], axis=-1)
+                                           mask=recon_mask, device=True)
+
+        if output == "uint8":
+            pack = self._jit("pack_u8", lambda x, m: jnp.round(
+                jnp.concatenate([x, m], -1) * 255.0).astype(jnp.uint8))
+            return np.asarray(pack(rgb, recon_mask))
+        cat = self._jit("pack_f32",
+                        lambda x, m: jnp.concatenate([x, m], -1))
+        return np.asarray(cat(rgb, recon_mask))

@@ -334,7 +334,7 @@ class WinGateAttention(nn.Module):
         if self.policy.fused_gate_chain:
             from .pallas.gate_chain import fused_gate_chain, gate_chain_tiles
             from .pallas.remat_vjp import fused_primal_xla_grad
-            if all(gate_chain_tiles(x.shape[1], x.shape[2])):
+            if all(gate_chain_tiles(x.shape[1], x.shape[2], x.shape[3])):
                 params = {f"conv_a{i}": a_units[i].param_dict()
                           for i in range(3)}
                 params.update({f"conv_b{i}": b_units[i].param_dict()
@@ -412,7 +412,7 @@ class SimplifiedAttention(nn.Module):
         if self.policy.fused_gate_chain:
             from .pallas.gate_chain import fused_gate_chain, gate_chain_tiles
             from .pallas.remat_vjp import fused_primal_xla_grad
-            if all(gate_chain_tiles(x.shape[1], x.shape[2])):
+            if all(gate_chain_tiles(x.shape[1], x.shape[2], x.shape[3])):
                 params = {f"trunk_ResBlock{i + 1}": trunk[i].param_dict()
                           for i in range(3)}
                 params.update({

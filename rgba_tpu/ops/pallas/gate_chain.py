@@ -155,9 +155,14 @@ def _pick_tile(n, cands):
     return 0
 
 
-def gate_chain_tiles(h, w):
-    """The (th, tw) the kernel would use, or (0, 0) if unsupported."""
-    return _pick_tile(h, (32, 16, 8)), _pick_tile(w, (64, 32, 16, 8))
+def gate_chain_tiles(h, w, c):
+    """The (th, tw) the kernel would use, or (0, 0) if unsupported.
+
+    VMEM budget: the kernel's scoped footprint scales ~linearly with tile
+    area x channels (measured 24.8 MB at (32, 64) x C=192 — over the 16 MB
+    v5e VMEM), so wide-channel layers take half-height tiles."""
+    th_cands = (16, 8) if c > 96 else (32, 16, 8)
+    return _pick_tile(h, th_cands), _pick_tile(w, (64, 32, 16, 8))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -173,7 +178,7 @@ def fused_gate_chain(x, g, params, *, act: str, post_act: bool,
     final_name.  Returns x + chain_t(x) * sigmoid(1x1(chain_g(g)))."""
     bsz, h, w, c = x.shape
     half = params[trunk_names[0]][block_keys[1]]["kernel"].shape[-1]
-    th, tw = gate_chain_tiles(h, w)
+    th, tw = gate_chain_tiles(h, w, c)
     assert th and tw, (h, w)
     nth, ntw = h // th, w // tw
     ph, pw = th + 2 * HALO, tw + 2 * HALO

@@ -121,3 +121,45 @@ def test_rgba_file_codec_batched():
     for i in range(3):
         one = codec.decode(blobs[i])
         np.testing.assert_allclose(one[0], rgba[i], atol=1e-6)
+
+
+@pytest.mark.skipif(not rans.available(), reason="native rans not built")
+def test_rgba_file_codec_uint8_edges():
+    """8-bit serving contract: uint8 inputs produce the same bitstream as
+    their float(q/255) equivalents, and output="uint8" returns exactly the
+    rounded float reconstruction (conversions happen on-device)."""
+    import jax
+    import jax.numpy as jnp
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+
+    key = jax.random.PRNGKey(0)
+    mask_model, rgb_model = MaskCodec(), RGBCodec()
+    d = synthetic_rgba_batch(2, 64, 64, seed=3)
+    img_u8 = np.round(d["image"] * 255.0).astype(np.uint8)
+    a_u8 = np.round(d["alpha"] * 255.0).astype(np.uint8)
+    img_f = img_u8.astype(np.float32) / 255.0
+    a_f = a_u8.astype(np.float32) / 255.0
+    mask = jnp.asarray(a_f[:1])
+    x = jnp.asarray(img_f[:1] * (a_f[:1] > 0))
+    me = mask_pyramid(mask)
+    mask_params = mask_model.init({"params": key, "noise": key}, mask,
+                                  training=False)["params"]
+    rgb_params = rgb_model.init({"params": key, "noise": key}, x, mask,
+                                mask, me, training=False)["params"]
+    codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
+                          CodecIO(mask_model, mask_params, kind="mask"))
+
+    blobs_u8 = codec.encode_batch(img_u8, a_u8)
+    blobs_f = codec.encode_batch(img_f, a_f)
+    assert blobs_u8 == blobs_f
+
+    out_f = codec.decode_batch(blobs_u8)
+    out_u8 = codec.decode_batch(blobs_u8, output="uint8")
+    assert out_u8.dtype == np.uint8
+    np.testing.assert_array_equal(out_u8,
+                                  np.round(out_f * 255.0).astype(np.uint8))

@@ -64,3 +64,12 @@ def test_gate_param_paths_unchanged():
     ps = s.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 64)))["params"]
     assert {"trunk_ResBlock1", "attention_ResBlock3", "conv1"} <= set(ps.keys())
     assert ps["trunk_ResBlock1"]["conv2"]["kernel"].shape == (3, 3, 32, 32)
+
+
+def test_gate_chain_tiles_channel_aware():
+    """Wide-channel layers must take half-height tiles (VMEM: 24.8 MB
+    measured at (32,64)xC=192 vs the 16 MB v5e budget)."""
+    from rgba_tpu.ops.pallas.gate_chain import gate_chain_tiles
+    assert gate_chain_tiles(128, 192, 192) == (16, 64)
+    assert gate_chain_tiles(64, 96, 80) == (32, 32)
+    assert gate_chain_tiles(30, 30, 64) == (0, 0)
