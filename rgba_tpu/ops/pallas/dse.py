@@ -53,7 +53,8 @@ def _conv3x3(t, w_ref, b_ref, out_h, out_w, patches_ref):
 
 def _kernel(x_ref, w_in, b_in, w11, b11, w12, b12, w21, b21, w22, b22,
             w31, b31, w32, b32, w_out, b_out, o_ref, patches_ref, *,
-            th: int, tw: int, cio: int, leaky: bool, img_h: int, img_w: int):
+            th: int, tw: int, cio: int, leaky: bool, img_h: int, img_w: int,
+            no_mask: bool = False):
     dt = x_ref.dtype
     ph, pw = th + 2 * HALO, tw + 2 * HALO
     r_base = pl.program_id(1) * th
@@ -67,6 +68,8 @@ def _kernel(x_ref, w_in, b_in, w11, b11, w12, b12, w21, b21, w22, b22,
 
     def inside(vals, r):
         """Zero activations outside the image (see module docstring)."""
+        if no_mask:   # perf experiment: border-wrong, measures mask cost
+            return vals
         nr, nc = vals.shape[0], vals.shape[1]
         r0 = r_base + (HALO - r)
         c0 = c_base + (HALO - r)
@@ -106,9 +109,10 @@ def _kernel(x_ref, w_in, b_in, w11, b11, w12, b12, w21, b21, w22, b22,
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("leaky", "tile", "interpret"))
-def fused_dse(x, params, *, leaky: bool = False, tile=(64, 64),
-              interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("leaky", "tile", "interpret",
+                                             "no_mask"))
+def fused_dse(x, params, *, leaky: bool = False, tile=(64, 32),
+              interpret: bool = False, no_mask: bool = False):
     """x: (B, H, W, Cio); params: dict with input_conv/enh{1,2,3}/output_conv
     weight matrices (see wrapper in ops/enhance.py). Returns (B, H, W, Cio).
     H, W must be divisible by the tile."""
@@ -142,7 +146,7 @@ def fused_dse(x, params, *, leaky: bool = False, tile=(64, 64),
     args.append(params["output_conv"]["bias"].astype(jnp.float32))
 
     kern = functools.partial(_kernel, th=th, tw=tw, cio=cio, leaky=leaky,
-                             img_h=h, img_w=w)
+                             img_h=h, img_w=w, no_mask=no_mask)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args)
     out = pl.pallas_call(
         kern,
