@@ -112,9 +112,8 @@ class DSE(nn.Module):
 
         h, w = x.shape[1], x.shape[2]
         if self.policy.fused_dse:
-            # (64, 32): measured 17.4 MB scoped VMEM at (64, 64) vs the
-            # 16 MB v5e budget — halving the tile width fits
-            th = 64 if h % 64 == 0 else 0
+            # (32, 32) tiles with 4-image lane packing (see pallas/dse.py)
+            th = 32 if h % 32 == 0 else 0
             tw = 32 if w % 32 == 0 else 0
             if th and tw:
                 from .pallas.dse import fused_dse

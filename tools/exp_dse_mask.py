@@ -31,11 +31,13 @@ def main():
 
     xla = jax.jit(lambda x: dse_xla(x, pdict, BF16_POLICY, False))
     fused = jax.jit(lambda x: fused_dse(x, pdict, leaky=False))
-    nomask = jax.jit(lambda x: fused_dse(x, pdict, leaky=False,
-                                         no_mask=True))
+    nopat = jax.jit(lambda x: fused_dse(x, pdict, leaky=False,
+                                        no_patches=True))
+    p2 = jax.jit(lambda x: fused_dse(x, pdict, leaky=False, pack=2,
+                                     tile=(64, 32)))
 
-    for name, fn in (("xla", xla), ("fused", fused), ("fused_nomask",
-                                                      nomask)):
+    for name, fn in (("xla", xla), ("fused_v4_p4", fused),
+                     ("v4_nopatches", nopat), ("v4_p2_t64x32", p2)):
         o = np.asarray(fn(*xs[0][0:1]), np.float32)
         t = device_time(fn, xs, iters=10)
         print(f"{name:14s} {t * 1e3:7.2f} ms  (out mean {o.mean():.4f})",
