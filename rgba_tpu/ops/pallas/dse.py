@@ -48,16 +48,24 @@ def _conv3x3(t, w_ref, b_ref, out_h, out_w, patches_ref, cpk: int,
              no_patches: bool = False):
     """t: (out_h+2, out_w+2, cpk) -> (out_h, out_w, cpk) fp32 + bias.
 
-    cpk = pack*32 lanes; tap slots in patches_ref are cpk-aligned."""
+    cpk = pack*32 lanes.  Only the 3 dx column shifts are materialized
+    (sublane rotations — the expensive part); the dy shifts are free
+    outer-dim slices, contracted as 3 dy-grouped K=3*cpk matmuls
+    (same total MXU K-tiles as one 9-tap im2col matmul)."""
     if not no_patches:   # perf ablation: stale scratch, measures store cost
-        for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
-                                     for dx in range(3)):
-            patches_ref[0:out_h, 0:out_w, cpk * k:cpk * (k + 1)] = \
-                t[dy:dy + out_h, dx:dx + out_w, :]
-    patches = patches_ref[0:out_h, 0:out_w, :]
-    y = jnp.dot(patches.reshape(out_h * out_w, 9 * cpk), w_ref[:],
-                preferred_element_type=jnp.float32)
-    return (y + b_ref[:]).reshape(out_h, out_w, cpk)
+        for dx in range(3):
+            patches_ref[0:out_h + 2, 0:out_w, cpk * dx:cpk * (dx + 1)] = \
+                t[:, dx:dx + out_w, :]
+    acc = None
+    for dy in range(3):
+        p = patches_ref[dy:dy + out_h, 0:out_w, :]
+        # dot_general on the 3-D slice: contraction over the lane dim with
+        # (out_h, out_w) as M — no explicit reshape, Mosaic addresses the
+        # contiguous rows in place
+        y = jax.lax.dot_general(p, w_ref[dy], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = y if acc is None else acc + y
+    return acc + b_ref[:]
 
 
 def _kernel(x_ref, w_in, b_in, w11, b11, w12, b12, w21, b21, w22, b22,
@@ -152,10 +160,12 @@ def fused_dse(x, params, *, leaky: bool = False, tile=(32, 32),
         [jnp.stack([r[:, :, j * tw:j * tw + pw] for j in range(ntw)], axis=1)
          for r in rows], axis=1)
 
-    def rw(wk):   # (3,3,32,32) HWIO -> (9*cpk, cpk) block-diag, tap-major
-        taps = [_block_diag(wk[ky, kx], pack) for ky in range(3)
-                for kx in range(3)]
-        return jnp.concatenate(taps, axis=0).astype(dt)
+    def rw(wk):   # (3,3,32,32) HWIO -> (3, 3*cpk, cpk): dy-grouped,
+        # rows (dx, img, ci)-ordered to match the patch lanes
+        return jnp.stack([
+            jnp.concatenate([_block_diag(wk[dy, dx], pack)
+                             for dx in range(3)], axis=0)
+            for dy in range(3)]).astype(dt)
 
     def rb(bias):  # (32,) -> (cpk,) tiled per image
         return jnp.tile(bias, pack).astype(jnp.float32)
@@ -190,7 +200,7 @@ def fused_dse(x, params, *, leaky: bool = False, tile=(32, 32),
         out_shape=jax.ShapeDtypeStruct((g, nth, ntw, th, tw, pack * cio),
                                        dt),
         scratch_shapes=[
-            pltpu.VMEM((ph - 2, pw - 2, 9 * cpk), dt),
+            pltpu.VMEM((ph, pw - 2, 3 * cpk), dt),
         ],
         interpret=interpret,
     )(tiles, *args)

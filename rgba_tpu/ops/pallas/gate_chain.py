@@ -81,17 +81,27 @@ def _kernel(*refs, th: int, tw_: int, c: int, half: int, act: str,
                     preferred_element_type=jnp.float32)
         return (y + b).reshape(nr, nc, cout)
 
+    spad = _slot_pad(half)
+
     def conv3x3(t, w, b):
-        """t: (oh+2, ow+2, half) -> (oh, ow, half) via im2col patches."""
+        """t: (oh+2, ow+2, half) -> (oh, ow, half).
+
+        Only the 3 dx column shifts are materialized (sublane rotations);
+        dy shifts are free outer-dim slices contracted as 3 dy-grouped
+        matmuls.  Tap slots are padded to 128 lanes so every store is
+        lane-aligned — the zero-padded weight rows cost no extra MXU
+        K-tiles (ceil(3*96/128) == ceil(3*128/128) == 3)."""
         oh, ow = t.shape[0] - 2, t.shape[1] - 2
-        for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
-                                     for dx in range(3)):
-            patches_ref[0:oh, 0:ow, half * k:half * (k + 1)] = \
-                t[dy:dy + oh, dx:dx + ow, :]
-        patches = patches_ref[0:oh, 0:ow, :]
-        y = jnp.dot(patches.reshape(oh * ow, 9 * half), w,
-                    preferred_element_type=jnp.float32)
-        return (y + b).reshape(oh, ow, half)
+        for dx in range(3):
+            patches_ref[0:oh + 2, 0:ow, spad * dx:spad * dx + half] = \
+                t[:, dx:dx + ow, :]
+        acc = None
+        for dy in range(3):
+            p = patches_ref[dy:dy + oh, 0:ow, :]
+            y = jnp.dot(p.reshape(oh * ow, 3 * spad), w[dy],
+                        preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        return (acc + b).reshape(oh, ow, half)
 
     def chain(t_in, w0, b0, w1, b1, w2, b2):
         cur = t_in                                 # halo 3 at entry
@@ -107,6 +117,11 @@ def _kernel(*refs, th: int, tw_: int, c: int, half: int, act: str,
                 out = _act(out, act)
             cur = out.astype(dt)
         return cur                                 # (th, tw, C)
+
+    # zero the scratch once: the spad-half pad lanes of each tap slot are
+    # never written by the dx stores, and their weight rows are zero —
+    # but 0 * uninitialized could still poison (NaN bit patterns)
+    patches_ref[...] = jnp.zeros(patches_ref.shape, patches_ref.dtype)
 
     x_t = x_ref[0, 0, 0]
     g_t = x_t if shared_input else g_ref[0, 0, 0]
@@ -131,16 +146,31 @@ def _extract_tiles(x, th, tw):
          for r in rows], axis=1)
 
 
+def _slot_pad(half):
+    """Tap-slot lane width: pad to the 128-lane granule (assert model
+    channel halves stay <= 128 — true for C in {80, 192})."""
+    assert half <= 128, half
+    return 128
+
+
 def _stack_chain(params, names, key0, key1, key2, dt):
     """Stack the 3 blocks' conv params into (3, ...) arrays.
 
-    conv kernels are HWIO; the (9*half, half) reshape row order
-    (ky, kx, cin) matches the patches layout (tap-major, cin minor)."""
+    The 3x3 kernels (HWIO) become (3 blocks, 3 dy, 3*spad, half) with rows
+    ordered (dx, ci) and zero-padded ci (half -> spad=128) to match the
+    lane-aligned patch slots."""
     w0 = jnp.stack([params[n][key0]["kernel"].reshape(
         params[n][key0]["kernel"].shape[-2], -1) for n in names]).astype(dt)
     b0 = jnp.stack([params[n][key0]["bias"] for n in names]).astype(jnp.float32)
-    w1 = jnp.stack([params[n][key1]["kernel"].reshape(
-        -1, params[n][key1]["kernel"].shape[-1]) for n in names]).astype(dt)
+
+    def dy_grouped(wk):   # (3, 3, half, half) -> (3, 3*spad, half)
+        half_ = wk.shape[-1]
+        spad = _slot_pad(half_)
+        padded = jnp.pad(wk, ((0, 0), (0, 0), (0, spad - half_), (0, 0)))
+        return padded.reshape(3, 3 * spad, half_)
+
+    w1 = jnp.stack([dy_grouped(params[n][key1]["kernel"])
+                    for n in names]).astype(dt)
     b1 = jnp.stack([params[n][key1]["bias"] for n in names]).astype(jnp.float32)
     w2 = jnp.stack([params[n][key2]["kernel"].reshape(
         params[n][key2]["kernel"].shape[-2], -1) for n in names]).astype(dt)
@@ -210,8 +240,8 @@ def fused_gate_chain(x, g, params, *, act: str, post_act: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, nth, ntw, th, tw, c), dt),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * (HALO - 1), tw + 2 * (HALO - 1), 9 * half),
-                       dt),
+            pltpu.VMEM((th + 2 * HALO, tw + 2 * HALO - 2,
+                        3 * _slot_pad(half)), dt),
         ],
         interpret=interpret,
     )(*tiles, *targs, *gargs, fw, fb)

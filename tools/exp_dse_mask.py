@@ -33,11 +33,11 @@ def main():
     fused = jax.jit(lambda x: fused_dse(x, pdict, leaky=False))
     nopat = jax.jit(lambda x: fused_dse(x, pdict, leaky=False,
                                         no_patches=True))
-    p2 = jax.jit(lambda x: fused_dse(x, pdict, leaky=False, pack=2,
-                                     tile=(64, 32)))
+    wide = jax.jit(lambda x: fused_dse(x, pdict, leaky=False,
+                                       tile=(32, 64)))
 
-    for name, fn in (("xla", xla), ("fused_v4_p4", fused),
-                     ("v4_nopatches", nopat), ("v4_p2_t64x32", p2)):
+    for name, fn in (("xla", xla), ("fused_t32x32", fused),
+                     ("nopatches", nopat), ("fused_t32x64", wide)):
         o = np.asarray(fn(*xs[0][0:1]), np.float32)
         t = device_time(fn, xs, iters=10)
         print(f"{name:14s} {t * 1e3:7.2f} ms  (out mean {o.mean():.4f})",
