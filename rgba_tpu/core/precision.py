@@ -30,6 +30,7 @@ class Policy:
     fused_win_attn: bool = False
     fused_dse: bool = False
     fused_gate_chain: bool = False
+    fused_gdn: bool = False
 
     @property
     def gelu_kind(self) -> str:

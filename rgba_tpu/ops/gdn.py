@@ -54,6 +54,30 @@ class GDN(nn.Module):
         #    x2 @ gamma^T to match torch's (out,in) convention).
         dtype = self.policy.compute_dtype
         x = x.astype(dtype)
+
+        if self.policy.fused_gdn:
+            from .pallas.gdn import fused_gdn
+            from .pallas.remat_vjp import fused_primal_xla_grad
+            interpret = jax.default_backend() != "tpu"
+
+            def xla_ref(xx, gt, bt):
+                n = jnp.einsum("bhwj,ji->bhwi", jnp.square(xx),
+                               gt.astype(dtype),
+                               preferred_element_type=jnp.float32,
+                               precision=self.policy.precision) + \
+                    bt.astype(jnp.float32)
+                if dtype != jnp.float32:
+                    n = n.astype(dtype)
+                s = jnp.sqrt(n) if self.inverse else jax.lax.rsqrt(n)
+                return (xx * s).astype(dtype)
+
+            return fused_primal_xla_grad(
+                lambda xx, gt, bt: fused_gdn(xx, gt, bt,
+                                             inverse=self.inverse,
+                                             interpret=interpret),
+                xla_ref,
+                (x, gamma.T, beta))
+
         x2 = jnp.square(x)
         norm = jnp.einsum(
             "bhwj,ij->bhwi", x2, gamma.astype(dtype),

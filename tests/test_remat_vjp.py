@@ -93,3 +93,14 @@ def test_grad_through_fused_dse(cio, leaky):
     x = jax.random.normal(key, (1, 64, 64, cio))
     params = plain.init(key, x)
     _grad_compare(plain, fused, params, (x,))
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_grad_through_fused_gdn(inverse):
+    from rgba_tpu.ops.gdn import GDN
+    plain = GDN(inverse=inverse, policy=DEFAULT_POLICY)
+    fused = GDN(inverse=inverse, policy=Policy(fused_gdn=True))
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (2, 16, 24, 32))
+    params = plain.init(key, x)
+    _grad_compare(plain, fused, params, (x,))

@@ -88,6 +88,24 @@ def bench_dse():
                        [(x,) for x in xs])
 
 
+def bench_gdn():
+    from rgba_tpu.ops.gdn import GDN
+    key = jax.random.PRNGKey(2)
+    for dim, h, w, inv in ((192, 256, 384, False), (192, 256, 384, True),
+                           (192, 128, 192, False)):
+        plain = GDN(inverse=inv, policy=BF16_POLICY)
+        fused = GDN(inverse=inv,
+                    policy=dataclasses.replace(BF16_POLICY, fused_gdn=True))
+        x0 = jnp.zeros((B, h, w, dim), jnp.bfloat16)
+        params = plain.init(key, x0)
+        xs = _inputs(key, (B, h, w, dim))
+        p_fn = jax.jit(lambda x, m=plain: m.apply(params, x))
+        f_fn = jax.jit(lambda x, m=fused: m.apply(params, x))
+        name = "IGDN" if inv else "GDN"
+        check_and_time(f"{name} C={dim} {h}x{w}", p_fn, f_fn,
+                       [(x,) for x in xs])
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(jax.devices())
@@ -96,4 +114,6 @@ if __name__ == "__main__":
         bench_gate()
     if which in ("dse", "all"):
         bench_dse()
+    if which in ("gdn", "all"):
+        bench_gdn()
     print(f"total {time.time() - t0:.0f}s")
