@@ -109,14 +109,31 @@ class RGBAFileCodec:
 
         b, h, w = images.shape[:3]
         one = 255 if alphas.dtype == np.uint8 else 1.0
+        # opacity is judged on the ORIGINAL alpha; for padded sizes the
+        # decoder rebuilds the ones-inside/zeros-outside pattern from the
+        # header dims, so fully-opaque images still ship no mask stream
         opaque = [bool(np.all(alphas[i] == one)) for i in range(b)]
         non_op = [i for i in range(b) if not opaque[i]]
+
+        # arbitrary resolutions: transparent-pad to the model's /64 grid
+        # (the reference hard-requires divisible-by-64 inputs; SURVEY §7.3
+        # calls for explicit pad/crop).  alpha pads with 0 = transparent,
+        # which the masked codecs handle natively; decode crops back.
+        hp, wp = -(-h // 64) * 64, -(-w // 64) * 64
+        if (hp, wp) != (h, w):
+            pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+            images = np.pad(images, pad)
+            alphas = np.pad(alphas, pad)
 
         to_float = self._jit("to_float", lambda v: (
             v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8
             else v))
         x_dev = to_float(jnp.asarray(images))
         a_dev = to_float(jnp.asarray(alphas))
+
+        def base_mask():
+            m = jnp.zeros((b, hp, wp, 1), jnp.float32)
+            return m.at[:, :h, :w].set(1.0)
 
         mask_comps: dict[int, dict] = {}
         if non_op:
@@ -127,15 +144,18 @@ class RGBAFileCodec:
             def scatter_post(x, rm_s):
                 rm_s = jnp.round(jnp.clip(rm_s, 0, 1) * 255.0) / 255.0
                 rm_s = constraint_rgb(rm_s)
-                rm = jnp.ones((b, h, w, 1), jnp.float32)
+                rm = base_mask()
                 rm = rm.at[jnp.asarray(non_op)].set(rm_s)
                 return rm, jnp.where(rm > 0, x, rm)
 
-            recon_mask, masked = self._jit(f"enc_post{tuple(non_op)}",
-                                           scatter_post)(x_dev, rm_sub)
+            recon_mask, masked = self._jit(
+                f"enc_post{(h, w, hp, wp) + tuple(non_op)}",
+                scatter_post)(x_dev, rm_sub)
         else:
-            recon_mask = jnp.ones((b, h, w, 1), jnp.float32)
-            masked = x_dev
+            recon_mask = self._jit(f"enc_base{(b, h, w, hp, wp)}",
+                                   base_mask)()
+            masked = self._jit("mask_apply", lambda x, m: jnp.where(
+                m > 0, x, m))(x_dev, recon_mask)
         rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask)
         return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i))
                 for i in range(b)]
@@ -156,6 +176,15 @@ class RGBAFileCodec:
         assert all(m["height"] == h and m["width"] == w for m in metas), \
             "decode_batch requires same-sized images"
         b = len(metas)
+        # the RGB z-latent sits at /64 of the (padded) coding size; header
+        # h, w are the original dims to crop back to
+        zh, zw = metas[0]["rgb"]["shape"]
+        hp, wp = zh * 64, zw * 64
+
+        def base_mask():
+            m = jnp.zeros((b, hp, wp, 1), jnp.float32)
+            return m.at[:, :h, :w].set(1.0)
+
         with_mask = [i for i, m in enumerate(metas) if m["mask"] is not None]
         if with_mask:
             rm_sub = self.mask_io.decompress_batch(
@@ -164,20 +193,22 @@ class RGBAFileCodec:
             def scatter_mask(rm_s):
                 rm_s = jnp.round(jnp.clip(rm_s, 0, 1) * 255.0) / 255.0
                 rm_s = constraint_rgb(rm_s)
-                rm = jnp.ones((b, h, w, 1), jnp.float32)
-                return rm.at[jnp.asarray(with_mask)].set(rm_s)
+                return base_mask().at[jnp.asarray(with_mask)].set(rm_s)
 
-            recon_mask = self._jit(f"dec_mask{(b,) + tuple(with_mask)}",
-                                   scatter_mask)(rm_sub)
+            recon_mask = self._jit(
+                f"dec_mask{(b, h, w, hp, wp) + tuple(with_mask)}",
+                scatter_mask)(rm_sub)
         else:
-            recon_mask = jnp.ones((b, h, w, 1), jnp.float32)
+            recon_mask = self._jit(f"dec_base{(b, h, w, hp, wp)}",
+                                   base_mask)()
         rgb = self.rgb_io.decompress_batch([m["rgb"] for m in metas],
                                            mask=recon_mask, device=True)
 
         if output == "uint8":
-            pack = self._jit("pack_u8", lambda x, m: jnp.round(
-                jnp.concatenate([x, m], -1) * 255.0).astype(jnp.uint8))
+            pack = self._jit(f"pack_u8{(h, w)}", lambda x, m: jnp.round(
+                jnp.concatenate([x[:, :h, :w], m[:, :h, :w]], -1)
+                * 255.0).astype(jnp.uint8))
             return np.asarray(pack(rgb, recon_mask))
-        cat = self._jit("pack_f32",
-                        lambda x, m: jnp.concatenate([x, m], -1))
+        cat = self._jit(f"pack_f32{(h, w)}", lambda x, m: jnp.concatenate(
+            [x[:, :h, :w], m[:, :h, :w]], -1))
         return np.asarray(cat(rgb, recon_mask))

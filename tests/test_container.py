@@ -163,3 +163,49 @@ def test_rgba_file_codec_uint8_edges():
     assert out_u8.dtype == np.uint8
     np.testing.assert_array_equal(out_u8,
                                   np.round(out_f * 255.0).astype(np.uint8))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not rans.available(), reason="native rans not built")
+def test_rgba_file_codec_arbitrary_resolution():
+    """Non-/64 sizes are transparent-padded to the model grid on encode and
+    cropped back on decode (SURVEY §7.3 pad/crop; the reference hard-fails
+    on such inputs). Opaque members still ship no mask stream — the
+    decoder rebuilds the ones-inside pattern from the header dims."""
+    import jax
+    import jax.numpy as jnp
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+
+    key = jax.random.PRNGKey(0)
+    mask_model, rgb_model = MaskCodec(), RGBCodec()
+    d = synthetic_rgba_batch(2, 96, 120, seed=5)
+    d["alpha"][1] = 1.0   # one opaque member
+    mask = jnp.zeros((1, 64, 64, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    me = mask_pyramid(mask)
+    mask_params = mask_model.init({"params": key, "noise": key}, mask,
+                                  training=False)["params"]
+    rgb_params = rgb_model.init({"params": key, "noise": key}, x, mask,
+                                mask, me, training=False)["params"]
+    codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
+                          CodecIO(mask_model, mask_params, kind="mask"))
+
+    blobs = codec.encode_batch(d["image"], d["alpha"])
+    rgba = codec.decode_batch(blobs)
+    assert rgba.shape == (2, 96, 120, 4)
+    assert np.isfinite(rgba).all()
+    # opaque member decodes to all-ones alpha after the crop
+    np.testing.assert_array_equal(rgba[1, ..., 3], 1.0)
+    # per-image decode matches the batched decode
+    one = codec.decode(blobs[0])
+    np.testing.assert_allclose(one[0], rgba[0], atol=1e-6)
+    # uint8 output path crops identically
+    u8 = codec.decode_batch(blobs, output="uint8")
+    assert u8.shape == (2, 96, 120, 4)
+    np.testing.assert_array_equal(
+        u8, np.round(rgba * 255.0).astype(np.uint8))
