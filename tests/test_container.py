@@ -209,3 +209,14 @@ def test_rgba_file_codec_arbitrary_resolution():
     assert u8.shape == (2, 96, 120, 4)
     np.testing.assert_array_equal(
         u8, np.round(rgba * 255.0).astype(np.uint8))
+
+
+def test_unpack_rejects_corrupt_blob():
+    from rgba_tpu.eval.container import pack_rgba, unpack_rgba
+    with pytest.raises(ValueError):
+        unpack_rgba(b"NOPE" + b"\x00" * 32)
+    blob = pack_rgba(64, 64, {"shape": (1, 1),
+                              "strings": [b"abc", b"de"]}, None)
+    meta = unpack_rgba(blob)
+    assert meta["height"] == 64 and meta["mask"] is None
+    assert meta["rgb"]["strings"] == [b"abc", b"de"]
