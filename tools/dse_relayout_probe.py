@@ -1,0 +1,199 @@
+"""Probe XLA-level relayouts for the DSE conv chain (the 6% MXU op).
+
+Round-2's Pallas kernels tied XLA at best; the remaining idea is a
+*model-level* relayout that XLA itself can exploit: pack G=4 images into
+the channel dim (batch 16 -> 4, C 32 -> 128, the full lane width) and run
+the 3x3 convs as either
+
+  a) grouped convs (feature_group_count=4, weights tiled per group), or
+  b) block-diagonal dense kernels kron(I_4, w) — 4x the MXU FLOPs but
+     full-lane tiles, which can still win when bandwidth-bound.
+
+Variants measured on the real chip, batch 16 @ 256x384 (serving shape):
+  1. dse_xla baseline (bf16)
+  2. packed + grouped convs
+  3. packed + block-diag dense
+  4. block-diag dense int8 (W8A8 dynamic-free, timing only)
+
+Run: python tools/dse_relayout_probe.py
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from rgba_tpu.core.precision import BF16_POLICY  # noqa: E402
+from rgba_tpu.ops.enhance import DSE, dse_xla  # noqa: E402
+from rgba_tpu.utils.benchmark import device_time  # noqa: E402
+
+B, H, W, G = 16, 256, 384, 4
+F = 32
+
+
+def make_params(key):
+    mod = DSE(in_ch=3, policy=BF16_POLICY)
+    v = mod.init(key, jnp.zeros((1, 64, 64, 3)))
+    # explicit-params layout: pull the dict the same way DSE builds it
+    p = v["params"]
+
+    def cp(name):
+        return {"kernel": p[name]["kernel"], "bias": p[name]["bias"]}
+
+    return {
+        "input_conv": cp("input_conv"),
+        "enh1": {"conv1": {"kernel": p["enh1"]["conv1"]["kernel"],
+                           "bias": p["enh1"]["conv1"]["bias"]},
+                 "conv2": {"kernel": p["enh1"]["conv2"]["kernel"],
+                           "bias": p["enh1"]["conv2"]["bias"]}},
+        "enh2": {"conv1": {"kernel": p["enh2"]["conv1"]["kernel"],
+                           "bias": p["enh2"]["conv1"]["bias"]},
+                 "conv2": {"kernel": p["enh2"]["conv2"]["kernel"],
+                           "bias": p["enh2"]["conv2"]["bias"]}},
+        "enh3": {"conv1": {"kernel": p["enh3"]["conv1"]["kernel"],
+                           "bias": p["enh3"]["conv1"]["bias"]},
+                 "conv2": {"kernel": p["enh3"]["conv2"]["kernel"],
+                           "bias": p["enh3"]["conv2"]["bias"]}},
+        "output_conv": cp("output_conv"),
+    }
+
+
+def pack(x):
+    """(B,H,W,C) -> (B/G,H,W,G*C), channel idx = g*C + c."""
+    b, h, w, c = x.shape
+    y = x.reshape(b // G, G, h, w, c).transpose(0, 2, 3, 1, 4)
+    return y.reshape(b // G, h, w, G * c)
+
+
+def unpack(y, c):
+    bg, h, w, gc = y.shape
+    x = y.reshape(bg, h, w, G, c).transpose(0, 3, 1, 2, 4)
+    return x.reshape(bg * G, h, w, c)
+
+
+def conv_grouped(x, w, b, pad):
+    """x (N,H,W,G*Cin); w (k,k,Cin,Cout) applied per group."""
+    k, _, cin, cout = w.shape
+    wt = jnp.tile(w, (1, 1, 1, G))  # (k,k,cin, G*cout): group g = out slice g
+    # HWIO for grouped conv: O must be G*cout with group-major order
+    y = jax.lax.conv_general_dilated(
+        x, wt, (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=G)
+    return y + jnp.tile(b, (G,))
+
+
+def blockdiag(w):
+    """(k,k,cin,cout) -> (k,k,G*cin,G*cout) = kron(I_G, w)."""
+    k, _, cin, cout = w.shape
+    eye = jnp.eye(G, dtype=w.dtype)
+    wb = jnp.einsum("gh,klio->klgiho", eye, w)
+    return wb.reshape(k, k, G * cin, G * cout)
+
+
+def conv_bd(x, wb, b, pad):
+    y = jax.lax.conv_general_dilated(
+        x, wb, (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.tile(b, (G,))
+
+
+def dse_packed(x, params, conv):
+    """Same math as dse_xla but in packed layout."""
+    xp = pack(x)
+    identity = xp
+    first = conv(xp, params["input_conv"], 0)
+    y = first
+    for kname in ("enh1", "enh2", "enh3"):
+        z = conv(y, params[kname]["conv1"], 1)
+        z = jax.nn.relu(z)
+        z = conv(z, params[kname]["conv2"], 1)
+        y = y + z
+    y = y + first
+    y = conv(y, params["output_conv"], 0)
+    return unpack(y + identity, 3)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    key = jax.random.PRNGKey(0)
+    params = make_params(key)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    xs = [jax.random.normal(jax.random.fold_in(key, i), (B, H, W, 3),
+                            jnp.bfloat16) for i in range(3)]
+
+    # 1. baseline
+    base = jax.jit(lambda x, p: dse_xla(x, p, BF16_POLICY, False))
+    t0 = device_time(base, [(x, p16) for x in xs], iters=20)
+    print(f"baseline dse_xla bf16: {t0*1e3:7.2f} ms", flush=True)
+
+    # correctness oracle
+    ref = base(xs[0], p16)
+
+    # 2. grouped
+    def g_conv(xx, cp, pad):
+        return conv_grouped(xx, cp["kernel"].astype(jnp.bfloat16),
+                            cp["bias"].astype(jnp.bfloat16), pad)
+
+    grouped = jax.jit(lambda x, p: dse_packed(x, p, g_conv))
+    out = grouped(xs[0], p16)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+    t1 = device_time(grouped, [(x, p16) for x in xs], iters=20)
+    print(f"packed grouped fgc=4:  {t1*1e3:7.2f} ms  (max|err|={err:.2e})",
+          flush=True)
+
+    # 3. block-diag dense
+    pbd = {
+        "input_conv": {"kernel": blockdiag(p16["input_conv"]["kernel"]),
+                       "bias": p16["input_conv"]["bias"]},
+        "output_conv": {"kernel": blockdiag(p16["output_conv"]["kernel"]),
+                        "bias": p16["output_conv"]["bias"]},
+    }
+    for kname in ("enh1", "enh2", "enh3"):
+        pbd[kname] = {c: {"kernel": blockdiag(p16[kname][c]["kernel"]),
+                          "bias": p16[kname][c]["bias"]}
+                      for c in ("conv1", "conv2")}
+
+    def bd_conv(xx, cp, pad):
+        return conv_bd(xx, cp["kernel"], cp["bias"], pad)
+
+    bd = jax.jit(lambda x, p: dse_packed(x, p, bd_conv))
+    out = bd(xs[0], pbd)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+    t2 = device_time(bd, [(x, pbd) for x in xs], iters=20)
+    print(f"packed block-diag:     {t2*1e3:7.2f} ms  (max|err|={err:.2e})",
+          flush=True)
+
+    # 4. int8 timing shape-proxy: block-diag conv chain with int8 operands
+    def bd_conv_i8(xx, cp, pad):
+        y = jax.lax.conv_general_dilated(
+            xx, cp["kernel"], (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return jnp.clip(y >> 7, -127, 127).astype(jnp.int8)
+
+    pbd_i8 = jax.tree.map(
+        lambda a: jnp.clip(jnp.round(a * 64), -127, 127).astype(jnp.int8), pbd)
+
+    def dse_i8(x, p):
+        xp = pack(jnp.clip(jnp.round(x * 64), -127, 127).astype(jnp.int8))
+        first = bd_conv_i8(xp, p["input_conv"], 0)
+        y = first
+        for kname in ("enh1", "enh2", "enh3"):
+            z = bd_conv_i8(y, p[kname]["conv1"], 1)
+            z = jnp.maximum(z, 0)
+            z = bd_conv_i8(z, p[kname]["conv2"], 1)
+            y = (y + z).astype(jnp.int8)
+        y = bd_conv_i8((y + first).astype(jnp.int8), p["output_conv"], 0)
+        return unpack(y, 3)
+
+    i8 = jax.jit(dse_i8)
+    t3 = device_time(i8, [(x, pbd_i8) for x in xs], iters=20)
+    print(f"packed block-diag i8:  {t3*1e3:7.2f} ms  (timing proxy only)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
