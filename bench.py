@@ -64,6 +64,10 @@ def main_codec():
     datas = [{k: np.round(v * 255.0).astype(np.uint8) for k, v in d.items()}
              for d in datas]
 
+    # BENCH_PIPE=1: cross-batch pipeline (batch n's host rANS/transfers
+    # overlap batch n+1's device compute; bit-identical streams)
+    use_pipe = os.environ.get("BENCH_PIPE", "0") == "1"
+
     # warm-up: compiles all passes; also correctness-probe the round trip
     blobs = codec.encode_batch(datas[0]["image"], datas[0]["alpha"])
     rgba = codec.decode_batch(blobs, output="uint8")
@@ -71,10 +75,17 @@ def main_codec():
 
     t0 = time.perf_counter()
     nbytes = 0
-    for i in range(iters):
-        blobs = codec.encode_batch(datas[i]["image"], datas[i]["alpha"])
-        nbytes += sum(len(b) for b in blobs)
-        rgba = codec.decode_batch(blobs, output="uint8")
+    if use_pipe:
+        from rgba_tpu.eval.pipeline import PipelinedCodec
+        pipe = PipelinedCodec(codec, depth=2)
+        feed = ((datas[i]["image"], datas[i]["alpha"]) for i in range(iters))
+        for blobs, rgba in pipe.roundtrip_stream(feed, output="uint8"):
+            nbytes += sum(len(b) for b in blobs)
+    else:
+        for i in range(iters):
+            blobs = codec.encode_batch(datas[i]["image"], datas[i]["alpha"])
+            nbytes += sum(len(b) for b in blobs)
+            rgba = codec.decode_batch(blobs, output="uint8")
     np.asarray(rgba).sum()  # everything is host-side already
     dt = time.perf_counter() - t0
 
@@ -84,7 +95,7 @@ def main_codec():
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": 1.0,
-        "detail": {"batch": batch,
+        "detail": {"batch": batch, "pipelined": use_pipe,
                    "bpp": round(nbytes * 8 / (iters * batch * height * width), 4),
                    "sec_per_image": round(dt / (iters * batch), 4)},
     }))

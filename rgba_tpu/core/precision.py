@@ -31,6 +31,11 @@ class Policy:
     fused_dse: bool = False
     fused_gate_chain: bool = False
     fused_gdn: bool = False
+    # pure-XLA DSE relayout: pack 4 images into the channel dim with
+    # block-diag kron(I,w) kernels so the 32-ch convs fill 128 lanes —
+    # 2.27x on v5e (ops/enhance.py:dse_packed_xla). Differentiable; off in
+    # parity policies because the reordering shifts bf16 rounding.
+    packed_dse: bool = False
 
     @property
     def gelu_kind(self) -> str:
@@ -62,7 +67,8 @@ BF16_POLICY = Policy(compute_dtype=jnp.bfloat16,
 SERVE_POLICY = Policy(compute_dtype=jnp.bfloat16,
                       precision=jax.lax.Precision.DEFAULT,
                       fused_win_attn=True,
-                      fused_dse=False)
+                      fused_dse=False,
+                      packed_dse=True)
 
 
 def policy_from_str(name: str) -> Policy:

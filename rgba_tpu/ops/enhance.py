@@ -75,6 +75,63 @@ class EnhancementBlock(nn.Module):
         return x + y
 
 
+def _blockdiag(w, g):
+    """(k,k,cin,cout) -> (k,k,g*cin,g*cout) = kron(I_g, w)."""
+    k, _, cin, cout = w.shape
+    eye = jnp.eye(g, dtype=w.dtype)
+    wb = jnp.einsum("gh,klio->klgiho", eye, w)
+    return wb.reshape(k, k, g * cin, g * cout)
+
+
+def dse_packed_xla(x, params, policy, leaky, groups: int = 4):
+    """DSE with G images packed into the channel dim (batch B -> B/G,
+    C -> G*C) and block-diagonal kron(I_G, w) kernels — same math as
+    dse_xla, re-laid-out so the 32-channel convs fill the 128-wide MXU/VPU
+    lane tiles instead of padding 4x.
+
+    Measured on v5e (tools/dse_relayout_probe.py, batch 16 @256x384 bf16):
+    12.53 ms -> 5.53 ms (2.27x) over the plain chain; the grouped-conv
+    (feature_group_count) formulation of the same layout is SLOWER than
+    baseline (17.9 ms), so the 4x extra MACs of the dense block-diagonal
+    kernel are the price of admission — free, because the chain is
+    bandwidth-bound, not MXU-bound.  Pure XLA: differentiable, no Mosaic.
+    """
+    b, h, w, c = x.shape
+    g = groups
+    dt = policy.compute_dtype
+
+    def pack(t):
+        bb, hh, ww, cc = t.shape
+        t = t.reshape(bb // g, g, hh, ww, cc).transpose(0, 2, 3, 1, 4)
+        return t.reshape(bb // g, hh, ww, g * cc)
+
+    def unpack(t, cc):
+        bg, hh, ww, _ = t.shape
+        t = t.reshape(bg, hh, ww, g, cc).transpose(0, 3, 1, 2, 4)
+        return t.reshape(bg * g, hh, ww, cc)
+
+    def conv(t, p, pad):
+        wb = _blockdiag(p["kernel"].astype(dt), g)
+        y = jax.lax.conv_general_dilated(
+            t, wb, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=policy.precision)
+        return y + jnp.tile(p["bias"].astype(dt), (g,))
+
+    xp = pack(x.astype(dt))
+    identity = xp
+    first = conv(xp, params["input_conv"], 0)
+    y = first
+    for k in ("enh1", "enh2", "enh3"):
+        z = conv(y, params[k]["conv1"], 1)
+        z = jax.nn.leaky_relu(z, 0.01) if leaky else jax.nn.relu(z)
+        z = conv(z, params[k]["conv2"], 1)
+        y = y + z
+    y = y + first
+    y = conv(y, params["output_conv"], 0)
+    return unpack(y + identity, c)
+
+
 def dse_xla(x, params, policy, leaky):
     """Plain XLA conv chain (TransformRGB.py:16-49 math) as a pure function
     of the params dict — the training path, and the rematerialized backward
@@ -109,6 +166,9 @@ class DSE(nn.Module):
             "output_conv": _ConvParams(1, self.filters, self.in_ch,
                                        name="output_conv")(),
         }
+
+        if self.policy.packed_dse and x.shape[0] % 4 == 0:
+            return dse_packed_xla(x, params, self.policy, self.leaky)
 
         h, w = x.shape[1], x.shape[2]
         if self.policy.fused_dse:

@@ -115,8 +115,8 @@ def dse_packed(x, params, conv):
     return unpack(y + identity, 3)
 
 
-def main():
-    print("devices:", jax.devices(), flush=True)
+def main(which):
+    print("devices:", jax.devices(), "variant:", which, flush=True)
     key = jax.random.PRNGKey(0)
     params = make_params(key)
     p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
@@ -124,25 +124,30 @@ def main():
     xs = [jax.random.normal(jax.random.fold_in(key, i), (B, H, W, 3),
                             jnp.bfloat16) for i in range(3)]
 
-    # 1. baseline
+    # 1. baseline (also the correctness oracle for the others)
     base = jax.jit(lambda x, p: dse_xla(x, p, BF16_POLICY, False))
-    t0 = device_time(base, [(x, p16) for x in xs], iters=20)
-    print(f"baseline dse_xla bf16: {t0*1e3:7.2f} ms", flush=True)
-
-    # correctness oracle
     ref = base(xs[0], p16)
+    if which in ("base", "all"):
+        t0 = device_time(base, [(x, p16) for x in xs], iters=20)
+        print(f"baseline dse_xla bf16: {t0*1e3:7.2f} ms", flush=True)
+    if which == "base":
+        return
 
     # 2. grouped
     def g_conv(xx, cp, pad):
         return conv_grouped(xx, cp["kernel"].astype(jnp.bfloat16),
                             cp["bias"].astype(jnp.bfloat16), pad)
 
-    grouped = jax.jit(lambda x, p: dse_packed(x, p, g_conv))
-    out = grouped(xs[0], p16)
-    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
-    t1 = device_time(grouped, [(x, p16) for x in xs], iters=20)
-    print(f"packed grouped fgc=4:  {t1*1e3:7.2f} ms  (max|err|={err:.2e})",
-          flush=True)
+    if which in ("grouped", "all"):
+        grouped = jax.jit(lambda x, p: dse_packed(x, p, g_conv))
+        out = grouped(xs[0], p16)
+        err = jnp.max(jnp.abs(out.astype(jnp.float32)
+                              - ref.astype(jnp.float32)))
+        t1 = device_time(grouped, [(x, p16) for x in xs], iters=20)
+        print(f"packed grouped fgc=4:  {t1*1e3:7.2f} ms  (max|err|={err:.2e})",
+              flush=True)
+    if which == "grouped":
+        return
 
     # 3. block-diag dense
     pbd = {
@@ -159,12 +164,16 @@ def main():
     def bd_conv(xx, cp, pad):
         return conv_bd(xx, cp["kernel"], cp["bias"], pad)
 
-    bd = jax.jit(lambda x, p: dse_packed(x, p, bd_conv))
-    out = bd(xs[0], pbd)
-    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
-    t2 = device_time(bd, [(x, pbd) for x in xs], iters=20)
-    print(f"packed block-diag:     {t2*1e3:7.2f} ms  (max|err|={err:.2e})",
-          flush=True)
+    if which in ("bd", "all"):
+        bd = jax.jit(lambda x, p: dse_packed(x, p, bd_conv))
+        out = bd(xs[0], pbd)
+        err = jnp.max(jnp.abs(out.astype(jnp.float32)
+                              - ref.astype(jnp.float32)))
+        t2 = device_time(bd, [(x, pbd) for x in xs], iters=20)
+        print(f"packed block-diag:     {t2*1e3:7.2f} ms  (max|err|={err:.2e})",
+              flush=True)
+    if which == "bd":
+        return
 
     # 4. int8 timing shape-proxy: block-diag conv chain with int8 operands
     def bd_conv_i8(xx, cp, pad):
@@ -196,4 +205,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "all")
