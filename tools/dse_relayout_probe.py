@@ -204,5 +204,118 @@ def main(which):
           flush=True)
 
 
+def main_deconv():
+    """Final synthesis deconv 192->3 (k5 s2, lhs-dilated) plain vs packed
+    block-diag 768->12: MXU tilexK product is invariant, but XLA's C=3
+    output lowering may not be — measure which wins."""
+    print("devices:", jax.devices(), "variant: deconv", flush=True)
+    key = jax.random.PRNGKey(2)
+    n, co = 192, 3
+    w = jax.random.normal(key, (5, 5, n, co), jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.fold_in(key, 1), (co,), jnp.float32)
+    xs = [jax.random.normal(jax.random.fold_in(key, 10 + i),
+                            (B, H, W, n), jnp.bfloat16) for i in range(3)]
+
+    def deconv(x, wk, bk):
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(wk, (0, 1)).astype(jnp.bfloat16), (1, 1),
+            ((2, 3), (2, 3)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bk.astype(jnp.bfloat16)
+
+    plain = jax.jit(lambda x: deconv(x, w, b))
+    t0 = device_time(plain, [(x,) for x in xs], iters=20)
+    print(f"plain deconv 192->3:    {t0*1e3:7.2f} ms", flush=True)
+
+    wbd = blockdiag(w)          # (5,5,768,12)
+    bbd = jnp.tile(b, (G,))
+
+    def packed_fn(x):
+        xp = pack(x)
+        return deconv(xp, wbd, bbd)
+
+    packed = jax.jit(packed_fn)
+    # parity: unpack and compare
+    ref = plain(xs[0])
+    got = unpack(packed(xs[0]), co)
+    err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
+    t1 = device_time(packed, [(x,) for x in xs], iters=20)
+    print(f"packed deconv 768->12:  {t1*1e3:7.2f} ms  (max|err|={err:.2e})",
+          flush=True)
+
+
+def main_gate():
+    """WinGate RU chain (conv1x1 192->96, conv3x3 96->96, conv1x1 96->192,
+    x3 trunk + x3 gate + final 1x1) plain vs 4-image packed block-diag.
+    The 96-ch intermediates pad 1.33x; packing costs 4x MACs at ~35% MXU —
+    measure which effect dominates."""
+    from rgba_tpu.core.precision import BF16_POLICY as pol
+    print("devices:", jax.devices(), "variant: gate", flush=True)
+    key = jax.random.PRNGKey(3)
+    n, hh, ww = 192, 128, 192
+
+    def ru_params(k, i):
+        kk = jax.random.fold_in(k, i)
+        mk = lambda s, j: jax.random.normal(  # noqa: E731
+            jax.random.fold_in(kk, j), s, jnp.float32) * 0.05
+        return {
+            "conv0": {"kernel": mk((1, 1, n, n // 2), 0),
+                      "bias": mk((n // 2,), 1)},
+            "conv1": {"kernel": mk((3, 3, n // 2, n // 2), 2),
+                      "bias": mk((n // 2,), 3)},
+            "conv2": {"kernel": mk((1, 1, n // 2, n), 4),
+                      "bias": mk((n,), 5)},
+        }
+
+    params = {f"t{i}": ru_params(key, i) for i in range(3)}
+    params.update({f"g{i}": ru_params(key, 10 + i) for i in range(3)})
+    params["final"] = {"kernel": jax.random.normal(
+        jax.random.fold_in(key, 99), (1, 1, n, n), jnp.float32) * 0.05,
+        "bias": jnp.zeros((n,), jnp.float32)}
+    xs = [jax.random.normal(jax.random.fold_in(key, 50 + i),
+                            (B, hh, ww, n), jnp.bfloat16) for i in range(3)]
+
+    def conv(t, p, pad, bd=False):
+        wk = p["kernel"].astype(jnp.bfloat16)
+        bk = p["bias"].astype(jnp.bfloat16)
+        if bd:
+            wk, bk = blockdiag(wk), jnp.tile(bk, (G,))
+        y = jax.lax.conv_general_dilated(
+            t, wk, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bk
+
+    def chain(t, names, bd):
+        for nm in names:
+            p = params[nm]
+            y = jax.nn.gelu(conv(t, p["conv0"], 0, bd), approximate=True)
+            y = jax.nn.gelu(conv(y, p["conv1"], 1, bd), approximate=True)
+            y = conv(y, p["conv2"], 0, bd)
+            t = jax.nn.gelu(t + y, approximate=True)
+        return t
+
+    def gatechain(x, bd):
+        trunk = chain(x, ["t0", "t1", "t2"], bd)
+        gate = chain(x, ["g0", "g1", "g2"], bd)
+        fin = conv(gate, params["final"], 0, bd)
+        return x + trunk * jax.nn.sigmoid(fin)
+
+    plain = jax.jit(lambda x: gatechain(x, False))
+    t0 = device_time(plain, [(x,) for x in xs], iters=20)
+    print(f"plain gate chain C=192: {t0*1e3:7.2f} ms", flush=True)
+
+    packed = jax.jit(lambda x: unpack(gatechain(pack(x), True), n))
+    ref, got = plain(xs[0]), packed(xs[0])
+    err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
+    t1 = device_time(packed, [(x,) for x in xs], iters=20)
+    print(f"packed gate chain:      {t1*1e3:7.2f} ms  (max|err|={err:.2e})",
+          flush=True)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "all")
+    if sys.argv[1:2] == ["deconv"]:
+        main_deconv()
+    elif sys.argv[1:2] == ["gate"]:
+        main_gate()
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "all")
