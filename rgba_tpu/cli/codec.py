@@ -1,17 +1,28 @@
-"""RGBA file codec CLI — encode a PNG to a compressed blob and back.
+"""RGBA file codec CLI — encode PNGs to compressed blobs and back.
+
+Single file:
 
     python -m rgba_tpu.cli.codec encode in.png out.rgbc \
         -r checkpoints/rgb/iter_1500000.ckpt -m checkpoints/mask/iter_600000.ckpt
     python -m rgba_tpu.cli.codec decode out.rgbc recon.png -r ... -m ...
 
-Weights may also be reference .pth.tar files (auto-detected and imported).
-Images are padded to multiples of 64 (the codec's downsampling factor,
-SURVEY §7.3) and cropped back on decode.
+Directory (batched + cross-batch pipelined serving; images grouped by
+size, each same-size group coded in batches with host rANS/transfer of
+one batch overlapping device compute of the next):
+
+    python -m rgba_tpu.cli.codec encode-dir in_dir/ out_dir/ -r ... -m ...
+    python -m rgba_tpu.cli.codec decode-dir out_dir/ recon_dir/ -r ... -m ...
+
+Weights may also be reference .pth.tar files (auto-detected and
+imported).  Arbitrary resolutions are handled by the container itself
+(transparent-pad to the /64 grid on encode, crop on decode — the
+reference hard-requires /64 inputs, AutoEncoderRGB_Journal.py:312).
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import os
 
 import numpy as np
@@ -52,50 +63,124 @@ def _load_codecs(rgb_path: str, mask_path: str):
                          CodecIO(mask_model, mask_params, kind="mask"))
 
 
-def _pad64(arr):
-    h, w = arr.shape[1:3]
-    ph, pw = (-h) % 64, (-w) % 64
-    if ph or pw:
-        arr = np.pad(arr, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-    return arr, (h, w)
+def _read_rgba(path):
+    from PIL import Image
+    arr = np.asarray(Image.open(path).convert("RGBA"), np.float32)[None] / 255.0
+    return arr[..., :3], arr[..., 3:4]
+
+
+def _write_rgba(path, rgba):
+    from PIL import Image
+    Image.fromarray((np.clip(rgba, 0, 1) * 255).astype(np.uint8),
+                    "RGBA").save(path)
+
+
+def _encode_one(codec, src, dst):
+    rgb, alpha = _read_rgba(src)
+    h, w = rgb.shape[1:3]
+    blob = codec.encode(rgb, alpha)
+    with open(dst, "wb") as f:
+        f.write(blob)
+    raw = os.path.getsize(src)
+    print(f"{src} -> {dst}: {len(blob)} bytes "
+          f"({len(blob) * 8 / (h * w):.4f} bpp, {raw / len(blob):.1f}x "
+          f"vs source file)")
+
+
+def _decode_one(codec, src, dst):
+    with open(src, "rb") as f:
+        blob = f.read()
+    rgba = codec.decode(blob)[0]
+    _write_rgba(dst, rgba)
+    print(f"{src} -> {dst} ({rgba.shape[1]}x{rgba.shape[0]})")
+
+
+def _group_by(keys_items):
+    groups: dict = {}
+    for k, item in keys_items:
+        groups.setdefault(k, []).append(item)
+    return groups
+
+
+def _encode_dir(codec, src_dir, dst_dir, batch):
+    from ..eval.pipeline import PipelinedCodec
+    paths = sorted(glob.glob(os.path.join(src_dir, "*.png")))
+    if not paths:
+        raise SystemExit(f"no .png files in {src_dir}")
+    os.makedirs(dst_dir, exist_ok=True)
+    loaded = [(_read_rgba(p), p) for p in paths]
+    groups = _group_by(((rgb.shape[1:3], (rgb, a, p))
+                        for (rgb, a), p in loaded))
+    pipe = PipelinedCodec(codec, depth=2)
+    total_in = total_out = 0
+    for _, items in groups.items():
+        chunks = [items[i:i + batch] for i in range(0, len(items), batch)]
+        feeds = ((np.concatenate([c[0] for c in ch]),
+                  np.concatenate([c[1] for c in ch])) for ch in chunks)
+        for ch, blobs in zip(chunks, pipe.encode_stream(feeds)):
+            for (_, _, p), blob in zip(ch, blobs):
+                dst = os.path.join(
+                    dst_dir,
+                    os.path.splitext(os.path.basename(p))[0] + ".rgbc")
+                with open(dst, "wb") as f:
+                    f.write(blob)
+                total_in += os.path.getsize(p)
+                total_out += len(blob)
+    print(f"{len(paths)} images -> {dst_dir}: {total_out} bytes "
+          f"({total_in / max(total_out, 1):.1f}x vs source files)")
+
+
+def _decode_dir(codec, src_dir, dst_dir, batch):
+    from ..eval.container import unpack_rgba
+    from ..eval.pipeline import PipelinedCodec
+    paths = sorted(glob.glob(os.path.join(src_dir, "*.rgbc")))
+    if not paths:
+        raise SystemExit(f"no .rgbc files in {src_dir}")
+    os.makedirs(dst_dir, exist_ok=True)
+    blobs = []
+    for p in paths:
+        with open(p, "rb") as f:
+            blobs.append(f.read())
+    groups = _group_by((
+        ((unpack_rgba(b)["height"], unpack_rgba(b)["width"]), (b, p))
+        for b, p in zip(blobs, paths)))
+    pipe = PipelinedCodec(codec, depth=2)
+    n = 0
+    for _, items in groups.items():
+        chunks = [items[i:i + batch] for i in range(0, len(items), batch)]
+        feeds = ([c[0] for c in ch] for ch in chunks)
+        for ch, rgba in zip(chunks, pipe.decode_stream(feeds)):
+            for (_, p), img in zip(ch, rgba):
+                dst = os.path.join(
+                    dst_dir,
+                    os.path.splitext(os.path.basename(p))[0] + ".png")
+                _write_rgba(dst, img)
+                n += 1
+    print(f"{n} blobs -> {dst_dir}")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="rgba_tpu file codec")
-    p.add_argument("command", choices=["encode", "decode"])
+    p.add_argument("command",
+                   choices=["encode", "decode", "encode-dir", "decode-dir"])
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("-r", "--rgb-model", default="", help="RGB codec weights")
     p.add_argument("-m", "--mask-model", default="", help="mask codec weights")
+    p.add_argument("-b", "--batch", type=int, default=8,
+                   help="batch size for *-dir modes")
     args = p.parse_args(argv)
 
-    from PIL import Image
     codec = _load_codecs(args.rgb_model, args.mask_model)
 
     if args.command == "encode":
-        img = Image.open(args.input).convert("RGBA")
-        arr = np.asarray(img, np.float32)[None] / 255.0
-        rgb, alpha = arr[..., :3], arr[..., 3:4]
-        rgb, (h, w) = _pad64(rgb)
-        alpha, _ = _pad64(alpha)
-        blob = codec.encode(rgb, alpha)
-        # remember the crop in a trailer
-        blob += h.to_bytes(4, "little") + w.to_bytes(4, "little")
-        with open(args.output, "wb") as f:
-            f.write(blob)
-        raw = os.path.getsize(args.input)
-        print(f"{args.input} -> {args.output}: {len(blob)} bytes "
-              f"({len(blob) * 8 / (h * w):.4f} bpp, {raw / len(blob):.1f}x "
-              f"vs source file)")
+        _encode_one(codec, args.input, args.output)
+    elif args.command == "decode":
+        _decode_one(codec, args.input, args.output)
+    elif args.command == "encode-dir":
+        _encode_dir(codec, args.input, args.output, args.batch)
     else:
-        with open(args.input, "rb") as f:
-            blob = f.read()
-        h = int.from_bytes(blob[-8:-4], "little")
-        w = int.from_bytes(blob[-4:], "little")
-        rgba = codec.decode(blob[:-8])[0, :h, :w]
-        Image.fromarray((np.clip(rgba, 0, 1) * 255).astype(np.uint8),
-                        "RGBA").save(args.output)
-        print(f"{args.input} -> {args.output} ({w}x{h})")
+        _decode_dir(codec, args.input, args.output, args.batch)
 
 
 if __name__ == "__main__":

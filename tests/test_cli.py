@@ -51,7 +51,8 @@ def test_codec_cli_roundtrip(tmp_path):
     from rgba_tpu.native import rans
     if not rans.available():
         pytest.skip("native rans not built")
-    b = synthetic_rgba_batch(1, 64, 64, seed=5)
+    # non-/64 size: the container pads transparently and crops on decode
+    b = synthetic_rgba_batch(1, 96, 72, seed=5)
     rgba = np.concatenate([b["image"][0], b["alpha"][0]], -1)
     src = tmp_path / "in.png"
     Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(src)
@@ -61,4 +62,35 @@ def test_codec_cli_roundtrip(tmp_path):
     assert blob.stat().st_size > 16
     codec.main(["decode", str(blob), str(recon)])
     img = Image.open(recon)
-    assert img.mode == "RGBA" and img.size == (64, 64)
+    assert img.mode == "RGBA" and img.size == (72, 96)
+
+
+def test_codec_cli_dir_modes(tmp_path):
+    """encode-dir/decode-dir: mixed sizes are grouped, batched, and
+    pipelined; every decoded PNG matches the per-image decode."""
+    from rgba_tpu.cli import codec
+    from rgba_tpu.native import rans
+    if not rans.available():
+        pytest.skip("native rans not built")
+    src = tmp_path / "src"
+    enc = tmp_path / "enc"
+    rec = tmp_path / "rec"
+    os.makedirs(src)
+    sizes = [(64, 64), (64, 64), (64, 64), (96, 72)]
+    for i, (h, w) in enumerate(sizes):
+        b = synthetic_rgba_batch(1, h, w, seed=20 + i)
+        rgba = np.concatenate([b["image"][0], b["alpha"][0]], -1)
+        Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
+            src / f"im{i}.png")
+    codec.main(["encode-dir", str(src), str(enc), "-b", "2"])
+    blobs = sorted(os.listdir(enc))
+    assert blobs == ["im0.rgbc", "im1.rgbc", "im2.rgbc", "im3.rgbc"]
+    codec.main(["decode-dir", str(enc), str(rec), "-b", "2"])
+    for i, (h, w) in enumerate(sizes):
+        img = Image.open(rec / f"im{i}.png")
+        assert img.mode == "RGBA" and img.size == (w, h), (i, img.size)
+    # dir decode agrees with the single-file path
+    one = tmp_path / "one.png"
+    codec.main(["decode", str(enc / "im3.rgbc"), str(one)])
+    np.testing.assert_array_equal(np.asarray(Image.open(one)),
+                                  np.asarray(Image.open(rec / "im3.png")))
