@@ -87,10 +87,29 @@ def _encode_one(codec, src, dst):
           f"vs source file)")
 
 
+def _strip_legacy_trailer(blob, meta):
+    """Older CLI builds appended an 8-byte crop trailer (the container
+    itself now carries the original dims). Detect and honor it so old
+    .rgbc files still decode to their true size instead of the padded
+    grid."""
+    extra = len(blob) - meta["consumed"]
+    if extra == 8:
+        h = int.from_bytes(blob[-8:-4], "little")
+        w = int.from_bytes(blob[-4:], "little")
+        return blob[:-8], (h, w)
+    if extra != 0:
+        raise SystemExit(f"corrupt container: {extra} trailing bytes")
+    return blob, None
+
+
 def _decode_one(codec, src, dst):
+    from ..eval.container import unpack_rgba
     with open(src, "rb") as f:
         blob = f.read()
+    blob, legacy_hw = _strip_legacy_trailer(blob, unpack_rgba(blob))
     rgba = codec.decode(blob)[0]
+    if legacy_hw is not None:
+        rgba = rgba[:legacy_hw[0], :legacy_hw[1]]
     _write_rgba(dst, rgba)
     print(f"{src} -> {dst} ({rgba.shape[1]}x{rgba.shape[0]})")
 
@@ -103,22 +122,28 @@ def _group_by(keys_items):
 
 
 def _encode_dir(codec, src_dir, dst_dir, batch):
+    from PIL import Image
     from ..eval.pipeline import PipelinedCodec
     paths = sorted(glob.glob(os.path.join(src_dir, "*.png")))
     if not paths:
         raise SystemExit(f"no .png files in {src_dir}")
     os.makedirs(dst_dir, exist_ok=True)
-    loaded = [(_read_rgba(p), p) for p in paths]
-    groups = _group_by(((rgb.shape[1:3], (rgb, a, p))
-                        for (rgb, a), p in loaded))
+    # group by size WITHOUT decoding pixels (PIL reads only the header);
+    # pixels load lazily per chunk, bounding memory at depth*batch images
+    groups = _group_by(((Image.open(p).size[::-1], p) for p in paths))
     pipe = PipelinedCodec(codec, depth=2)
     total_in = total_out = 0
-    for _, items in groups.items():
-        chunks = [items[i:i + batch] for i in range(0, len(items), batch)]
-        feeds = ((np.concatenate([c[0] for c in ch]),
-                  np.concatenate([c[1] for c in ch])) for ch in chunks)
-        for ch, blobs in zip(chunks, pipe.encode_stream(feeds)):
-            for (_, _, p), blob in zip(ch, blobs):
+    for _, ps in groups.items():
+        chunks = [ps[i:i + batch] for i in range(0, len(ps), batch)]
+
+        def feeds(chunks=chunks):
+            for ch in chunks:
+                pairs = [_read_rgba(p) for p in ch]
+                yield (np.concatenate([r for r, _ in pairs]),
+                       np.concatenate([a for _, a in pairs]))
+
+        for ch, blobs in zip(chunks, pipe.encode_stream(feeds())):
+            for p, blob in zip(ch, blobs):
                 dst = os.path.join(
                     dst_dir,
                     os.path.splitext(os.path.basename(p))[0] + ".rgbc")
@@ -137,13 +162,18 @@ def _decode_dir(codec, src_dir, dst_dir, batch):
     if not paths:
         raise SystemExit(f"no .rgbc files in {src_dir}")
     os.makedirs(dst_dir, exist_ok=True)
-    blobs = []
+    items = []
     for p in paths:
         with open(p, "rb") as f:
-            blobs.append(f.read())
-    groups = _group_by((
-        ((unpack_rgba(b)["height"], unpack_rgba(b)["width"]), (b, p))
-        for b, p in zip(blobs, paths)))
+            blob = f.read()
+        meta = unpack_rgba(blob)
+        blob, legacy_hw = _strip_legacy_trailer(blob, meta)
+        if legacy_hw is not None:
+            raise SystemExit(
+                f"{p}: legacy trailer format — decode it with the "
+                f"single-file `decode` command")
+        items.append(((meta["height"], meta["width"]), (blob, p)))
+    groups = _group_by(items)
     pipe = PipelinedCodec(codec, depth=2)
     n = 0
     for _, items in groups.items():

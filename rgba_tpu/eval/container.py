@@ -39,6 +39,9 @@ def pack_rgba(height: int, width: int, rgb: dict, mask: dict | None) -> bytes:
 
 
 def unpack_rgba(blob: bytes) -> dict:
+    """Parse a container blob. The returned dict includes "consumed" —
+    the exact byte length of the container — so callers can detect
+    trailing data (e.g. the legacy CLI's 8-byte crop trailer)."""
     head_len = struct.calcsize("<4sBBIIHHHH")
     magic, ver, flags, h, w, zh, zw, mzh, mzw = struct.unpack(
         "<4sBBIIHHHH", blob[:head_len])
@@ -52,7 +55,7 @@ def unpack_rgba(blob: bytes) -> dict:
         sections.append(blob[off:off + ln])
         off += ln
     out = {
-        "height": h, "width": w,
+        "height": h, "width": w, "consumed": off,
         "rgb": {"strings": [sections[0], sections[1]], "shape": (zh, zw)},
         "mask": None,
     }

@@ -75,6 +75,11 @@ class EnhancementBlock(nn.Module):
         return x + y
 
 
+# 4 images x 32 filters = 128 lanes exactly; the gate below and
+# dse_packed_xla's default must agree
+PACK_GROUPS = 4
+
+
 def _blockdiag(w, g):
     """(k,k,cin,cout) -> (k,k,g*cin,g*cout) = kron(I_g, w)."""
     k, _, cin, cout = w.shape
@@ -83,7 +88,7 @@ def _blockdiag(w, g):
     return wb.reshape(k, k, g * cin, g * cout)
 
 
-def dse_packed_xla(x, params, policy, leaky, groups: int = 4):
+def dse_packed_xla(x, params, policy, leaky, groups: int = PACK_GROUPS):
     """DSE with G images packed into the channel dim (batch B -> B/G,
     C -> G*C) and block-diagonal kron(I_G, w) kernels — same math as
     dse_xla, re-laid-out so the 32-channel convs fill the 128-wide MXU/VPU
@@ -167,7 +172,7 @@ class DSE(nn.Module):
                                        name="output_conv")(),
         }
 
-        if self.policy.packed_dse and x.shape[0] % 4 == 0:
+        if self.policy.packed_dse and x.shape[0] % PACK_GROUPS == 0:
             return dse_packed_xla(x, params, self.policy, self.leaky)
 
         h, w = x.shape[1], x.shape[2]

@@ -65,6 +65,38 @@ def test_codec_cli_roundtrip(tmp_path):
     assert img.mode == "RGBA" and img.size == (72, 96)
 
 
+def test_codec_cli_legacy_trailer(tmp_path):
+    """Blobs written by the pre-container-crop CLI carried an 8-byte h/w
+    trailer after an edge-padded container.  The decoder must honor the
+    trailer crop, and reject other trailing garbage, instead of silently
+    emitting the padded size."""
+    from rgba_tpu.cli import codec
+    from rgba_tpu.native import rans
+    if not rans.available():
+        pytest.skip("native rans not built")
+    b = synthetic_rgba_batch(1, 96, 72, seed=9)
+    rgba = np.concatenate([b["image"][0], b["alpha"][0]], -1)
+    src = tmp_path / "in.png"
+    Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(src)
+    blob_path = tmp_path / "out.rgbc"
+    codec.main(["encode", str(src), str(blob_path)])
+    blob = blob_path.read_bytes()
+
+    # synthesize a legacy file: container + 8-byte crop trailer (80x64)
+    legacy = tmp_path / "legacy.rgbc"
+    legacy.write_bytes(blob + (80).to_bytes(4, "little")
+                       + (64).to_bytes(4, "little"))
+    out = tmp_path / "legacy.png"
+    codec.main(["decode", str(legacy), str(out)])
+    assert Image.open(out).size == (64, 80)
+
+    # arbitrary trailing garbage is an error, not a silent mis-decode
+    bad = tmp_path / "bad.rgbc"
+    bad.write_bytes(blob + b"xyz")
+    with pytest.raises(SystemExit):
+        codec.main(["decode", str(bad), str(tmp_path / "bad.png")])
+
+
 def test_codec_cli_dir_modes(tmp_path):
     """encode-dir/decode-dir: mixed sizes are grouped, batched, and
     pipelined; every decoded PNG matches the per-image decode."""

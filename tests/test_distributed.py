@@ -70,8 +70,7 @@ from rgba_tpu.train.loops import RGBTrainer
 
 mesh = global_mesh()                       # 8 devices over 2 processes
 cfg = TrainConfig(train_lambda=1024, batch_size=8, aux_lr=1e-3, tot_step=1)
-trainer = RGBTrainer(cfg, "/tmp/rgba_tpu_dist_%(port)d_" + str(pid),
-                     mesh=mesh)
+trainer = RGBTrainer(cfg, "/tmp/rgba_tpu_dist_" + str(pid), mesh=mesh)
 data = synthetic_rgba_batch(8, 64, 64, seed=0)   # same batch on both hosts
 batch = {"masked_image": data["masked_image"], "alpha": data["alpha"],
          "image": data["image"]}
@@ -85,9 +84,16 @@ print("TRAIN_OK", pid, f"{rd:.6f}", flush=True)
 """
 
 
-def _run_two(script_text, tmp_path, port, timeout=600):
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_two(script_text, tmp_path, timeout=600):
     script = tmp_path / "worker.py"
-    script.write_text(script_text % {"port": port})
+    script.write_text(script_text % {"port": _free_port()})
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["PYTHONPATH"] = "/root/repo"
@@ -96,9 +102,17 @@ def _run_two(script_text, tmp_path, port, timeout=600):
                               stderr=subprocess.STDOUT, env=env, text=True)
              for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        # a worker that hung (e.g. its peer died during init) must not
+        # outlive the test and poison later runs
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
     return outs
@@ -106,7 +120,7 @@ def _run_two(script_text, tmp_path, port, timeout=600):
 
 @pytest.mark.slow
 def test_two_process_mesh_psum(tmp_path):
-    outs = _run_two(_WORKER, tmp_path, port=23457, timeout=300)
+    outs = _run_two(_WORKER, tmp_path, timeout=300)
     for i, out in enumerate(outs):
         assert f"WORKER_OK {i}" in out, out
 
@@ -116,7 +130,7 @@ def test_two_process_train_step(tmp_path):
     """One REAL RGBTrainer step on a global mesh spanning two processes:
     batch sharded 4+4, params replicated, XLA inserts the cross-process
     gradient all-reduce. Both hosts must compute the identical rd_loss."""
-    outs = _run_two(_TRAIN_WORKER, tmp_path, port=23461)
+    outs = _run_two(_TRAIN_WORKER, tmp_path)
     rds = []
     for i, out in enumerate(outs):
         lines = [ln for ln in out.splitlines() if ln.startswith("TRAIN_OK")]

@@ -51,3 +51,48 @@ def test_codec_batch_sharded_bitstream_identical():
     out_plain = io.decompress_batch(comps_plain)
     out_shard = io.decompress_batch(comps_shard)
     np.testing.assert_array_equal(out_plain, out_shard)
+
+
+def test_packed_dse_shard_map_serving():
+    """packed_dse under multi-chip batch sharding: GSPMD would have to
+    insert cross-device collectives for the 4-image pack when the global
+    batch is sharded thinner than 4 per chip.  The serving recipe is
+    shard_map — inside it shapes are per-chip, so the %4 gate sees the
+    LOCAL batch and packs (or falls back) chip-locally.  Pins that the
+    shard_map forward equals the unsharded plain-DSE forward."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from rgba_tpu.core.precision import DEFAULT_POLICY, Policy
+    from rgba_tpu.ops.enhance import DSE
+    from rgba_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    plain = DSE(in_ch=3, policy=DEFAULT_POLICY)
+    packed = DSE(in_ch=3, policy=Policy(packed_dse=True))
+    key = jax.random.PRNGKey(7)
+    # global batch 16 over 4 devices -> local batch 4: packs per chip
+    x = jax.random.normal(key, (16, 64, 64, 3))
+    params = plain.init(key, x)
+
+    want = plain.apply(params, x)
+
+    @jax.jit
+    def fwd(p, xx):
+        f = shard_map(lambda pp, xl: packed.apply(pp, xl),
+                      mesh=mesh, in_specs=(P(), P("data")),
+                      out_specs=P("data"))
+        return f(p, xx)
+
+    got = fwd(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # global batch 8 over 4 devices -> local batch 2: falls back to the
+    # plain chain per chip, still correct
+    x2 = jax.random.normal(jax.random.fold_in(key, 1), (8, 64, 64, 3))
+    want2 = plain.apply(params, x2)
+    got2 = fwd(params, x2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-5)

@@ -60,7 +60,10 @@ def make_params(key):
 
 
 def pack(x):
-    """(B,H,W,C) -> (B/G,H,W,G*C), channel idx = g*C + c."""
+    """(B,H,W,C) -> (B/G,H,W,G*C), channel idx = g*C + c — the SAME
+    group-major layout as the production path (ops/enhance.py:
+    dse_packed_xla); blockdiag below is imported from there so the probe
+    always measures the shipped layout."""
     b, h, w, c = x.shape
     y = x.reshape(b // G, G, h, w, c).transpose(0, 2, 3, 1, 4)
     return y.reshape(b // G, h, w, G * c)
@@ -85,11 +88,9 @@ def conv_grouped(x, w, b, pad):
 
 
 def blockdiag(w):
-    """(k,k,cin,cout) -> (k,k,G*cin,G*cout) = kron(I_G, w)."""
-    k, _, cin, cout = w.shape
-    eye = jnp.eye(G, dtype=w.dtype)
-    wb = jnp.einsum("gh,klio->klgiho", eye, w)
-    return wb.reshape(k, k, G * cin, G * cout)
+    """kron(I_G, w) — the production implementation."""
+    from rgba_tpu.ops.enhance import _blockdiag
+    return _blockdiag(w, G)
 
 
 def conv_bd(x, wb, b, pad):
