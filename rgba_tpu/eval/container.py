@@ -43,6 +43,8 @@ def unpack_rgba(blob: bytes) -> dict:
     the exact byte length of the container — so callers can detect
     trailing data (e.g. the legacy CLI's 8-byte crop trailer)."""
     head_len = struct.calcsize("<4sBBIIHHHH")
+    if len(blob) < head_len:
+        raise ValueError("not an rgba_tpu container (truncated header)")
     magic, ver, flags, h, w, zh, zw, mzh, mzw = struct.unpack(
         "<4sBBIIHHHH", blob[:head_len])
     if magic != _MAGIC or ver != 1:
@@ -50,8 +52,12 @@ def unpack_rgba(blob: bytes) -> dict:
     off = head_len
     sections = []
     for _ in range(4):
+        if off + 4 > len(blob):
+            raise ValueError("truncated rgba_tpu container (section header)")
         (ln,) = struct.unpack("<I", blob[off:off + 4])
         off += 4
+        if off + ln > len(blob):
+            raise ValueError("truncated rgba_tpu container (section body)")
         sections.append(blob[off:off + ln])
         off += ln
     out = {

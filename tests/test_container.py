@@ -220,3 +220,20 @@ def test_unpack_rejects_corrupt_blob():
     meta = unpack_rgba(blob)
     assert meta["height"] == 64 and meta["mask"] is None
     assert meta["rgb"]["strings"] == [b"abc", b"de"]
+
+
+def test_unpack_rejects_truncated_blobs():
+    """Every truncation point raises ValueError — never struct.error or
+    IndexError (the CLI and any network-facing caller rely on this)."""
+    rgb = {"strings": [b"abcdef", b"gh"], "shape": (4, 6)}
+    mask = {"strings": [b"ij", b"k"], "shape": (2, 3)}
+    blob = pack_rgba(100, 200, rgb, mask)
+    meta = unpack_rgba(blob)
+    assert meta["consumed"] == len(blob)
+    for cut in range(len(blob)):
+        try:
+            unpack_rgba(blob[:cut])
+        except ValueError:
+            continue
+        # a prefix that still parses must at least consume <= cut
+        assert unpack_rgba(blob[:cut])["consumed"] <= cut
