@@ -75,10 +75,10 @@ def _write_rgba(path, rgba):
                     "RGBA").save(path)
 
 
-def _encode_one(codec, src, dst):
+def _encode_one(codec, src, dst, bbox=False):
     rgb, alpha = _read_rgba(src)
     h, w = rgb.shape[1:3]
-    blob = codec.encode(rgb, alpha)
+    blob = codec.encode(rgb, alpha, bbox=bbox)
     with open(dst, "wb") as f:
         f.write(blob)
     raw = os.path.getsize(src)
@@ -121,7 +121,7 @@ def _group_by(keys_items):
     return groups
 
 
-def _encode_dir(codec, src_dir, dst_dir, batch):
+def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False):
     from PIL import Image
     from ..eval.pipeline import PipelinedCodec
     paths = sorted(glob.glob(os.path.join(src_dir, "*.png")))
@@ -142,7 +142,8 @@ def _encode_dir(codec, src_dir, dst_dir, batch):
                 yield (np.concatenate([r for r, _ in pairs]),
                        np.concatenate([a for _, a in pairs]))
 
-        for ch, blobs in zip(chunks, pipe.encode_stream(feeds())):
+        for ch, blobs in zip(chunks,
+                              pipe.encode_stream(feeds(), bbox=bbox)):
             for p, blob in zip(ch, blobs):
                 dst = os.path.join(
                     dst_dir,
@@ -172,7 +173,8 @@ def _decode_dir(codec, src_dir, dst_dir, batch):
             raise SystemExit(
                 f"{p}: legacy trailer format — decode it with the "
                 f"single-file `decode` command")
-        items.append(((meta["height"], meta["width"]), (blob, p)))
+        items.append(((meta["height"], meta["width"], meta["crop"]),
+                      (blob, p)))
     groups = _group_by(items)
     pipe = PipelinedCodec(codec, depth=2)
     n = 0
@@ -199,16 +201,21 @@ def main(argv=None):
     p.add_argument("-m", "--mask-model", default="", help="mask codec weights")
     p.add_argument("-b", "--batch", type=int, default=8,
                    help="batch size for *-dir modes")
+    p.add_argument("--bbox", action="store_true",
+                   help="crop to the alpha bounding box before coding "
+                        "(union bbox per batch in encode-dir); skips "
+                        "bits AND compute for transparent borders")
     args = p.parse_args(argv)
 
     codec = _load_codecs(args.rgb_model, args.mask_model)
 
     if args.command == "encode":
-        _encode_one(codec, args.input, args.output)
+        _encode_one(codec, args.input, args.output, bbox=args.bbox)
     elif args.command == "decode":
         _decode_one(codec, args.input, args.output)
     elif args.command == "encode-dir":
-        _encode_dir(codec, args.input, args.output, args.batch)
+        _encode_dir(codec, args.input, args.output, args.batch,
+                    bbox=args.bbox)
     else:
         _decode_dir(codec, args.input, args.output, args.batch)
 

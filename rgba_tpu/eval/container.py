@@ -10,9 +10,16 @@ Layout (little-endian):
   magic  b"RGBA"            4 bytes
   version u8                = 1
   flags   u8                bit0: mask stream present (0 => opaque alpha)
-  height  u32, width u32    original image size
+                            bit1: crop placement present (alpha-bbox mode)
+  height  u32, width u32    coded image size (pre-/64-padding)
   zh, zw  u16 x2            RGB z-latent spatial shape
   mzh,mzw u16 x2            mask z-latent spatial shape (0 if no mask)
+  [crop]  u32 x4            only when flags bit1: canvas_h, canvas_w, y0, x0
+                            — the coded (height,width) region sits at
+                            (y0,x0) inside a transparent canvas_h x
+                            canvas_w canvas (everything outside the
+                            alpha bounding box is transparent, so it is
+                            never coded at all)
   then 4 length-prefixed (u32) sections:
   rgb_y, rgb_z, mask_y, mask_z (empty when absent)
 """
@@ -26,12 +33,17 @@ import numpy as np
 _MAGIC = b"RGBA"
 
 
-def pack_rgba(height: int, width: int, rgb: dict, mask: dict | None) -> bytes:
-    flags = 1 if mask is not None else 0
+def pack_rgba(height: int, width: int, rgb: dict, mask: dict | None,
+              crop: tuple | None = None) -> bytes:
+    """crop, when given, is (canvas_h, canvas_w, y0, x0): the coded
+    height x width region is a window into a larger transparent canvas."""
+    flags = (1 if mask is not None else 0) | (2 if crop is not None else 0)
     zh, zw = rgb["shape"]
     mzh, mzw = mask["shape"] if mask else (0, 0)
     head = struct.pack("<4sBBIIHHHH", _MAGIC, 1, flags, height, width,
                        zh, zw, mzh, mzw)
+    if crop is not None:
+        head += struct.pack("<IIII", *crop)
     sections = [rgb["strings"][0], rgb["strings"][1]]
     sections += [mask["strings"][0], mask["strings"][1]] if mask else [b"", b""]
     body = b"".join(struct.pack("<I", len(s)) + s for s in sections)
@@ -50,6 +62,12 @@ def unpack_rgba(blob: bytes) -> dict:
     if magic != _MAGIC or ver != 1:
         raise ValueError("not an rgba_tpu container")
     off = head_len
+    crop = None
+    if flags & 2:
+        if off + 16 > len(blob):
+            raise ValueError("truncated rgba_tpu container (crop fields)")
+        crop = struct.unpack("<IIII", blob[off:off + 16])
+        off += 16
     sections = []
     for _ in range(4):
         if off + 4 > len(blob):
@@ -61,7 +79,7 @@ def unpack_rgba(blob: bytes) -> dict:
         sections.append(blob[off:off + ln])
         off += ln
     out = {
-        "height": h, "width": w, "consumed": off,
+        "height": h, "width": w, "consumed": off, "crop": crop,
         "rgb": {"strings": [sections[0], sections[1]], "shape": (zh, zw)},
         "mask": None,
     }
@@ -92,9 +110,10 @@ class RGBAFileCodec:
             self._jits[name] = jax.jit(fn)
         return self._jits[name]
 
-    def encode(self, image: np.ndarray, alpha: np.ndarray) -> bytes:
+    def encode(self, image: np.ndarray, alpha: np.ndarray,
+               bbox: bool = False) -> bytes:
         """image: (1,H,W,3) float32; alpha: (1,H,W,1) float32."""
-        return self.encode_batch(image, alpha)[0]
+        return self.encode_batch(image, alpha, bbox=bbox)[0]
 
     def decode(self, blob: bytes) -> np.ndarray:
         """Returns (1, H, W, 4) float32 RGBA."""
@@ -102,8 +121,8 @@ class RGBAFileCodec:
 
     # ------------------------------------------------- batched serving API
 
-    def encode_batch(self, images: np.ndarray,
-                     alphas: np.ndarray) -> list[bytes]:
+    def encode_batch(self, images: np.ndarray, alphas: np.ndarray,
+                     bbox: bool = False) -> list[bytes]:
         """Compress B same-shaped RGBA images in one batched device pass
         per stage (the per-slice autoregression cost is paid once for the
         whole batch). Returns one container blob per image.
@@ -112,11 +131,32 @@ class RGBAFileCodec:
         mask reconstruction, 8-bit re-round, constraint() and RGB gating all
         stay on-chip (the reference ping-pongs these through host numpy,
         AutoEncoderRGB_Journal.py:312-340).  uint8 inputs are accepted and
-        converted on-device (8-bit edges — a quarter the transfer bytes)."""
+        converted on-device (8-bit edges — a quarter the transfer bytes).
+
+        bbox=True crops the batch to the union alpha bounding box before
+        coding (the reference's zero-window skip taken to its logical end:
+        fully-transparent borders are never coded at all — no bits, no
+        FLOPs).  The container records the canvas size + offset; decode
+        reconstructs the full transparent canvas.  Each distinct crop
+        shape compiles its own codec executables (shapes quantize to the
+        /64 grid), so keep it off for shape-stable serving fleets unless
+        inputs share a canvas layout (sprites, portraits)."""
         import jax.numpy as jnp
         from ..ops.morphology import constraint_rgb
 
         b, h, w = images.shape[:3]
+        crop = None
+        if bbox:
+            vis_y = np.any(alphas > 0, axis=(0, 2, 3))
+            vis_x = np.any(alphas > 0, axis=(0, 1, 3))
+            if vis_y.any() and not (vis_y.all() and vis_x.all()):
+                y0, y1 = np.flatnonzero(vis_y)[[0, -1]]
+                x0, x1 = np.flatnonzero(vis_x)[[0, -1]]
+                if (y1 - y0 + 1, x1 - x0 + 1) != (h, w):
+                    crop = (h, w, int(y0), int(x0))
+                    images = images[:, y0:y1 + 1, x0:x1 + 1]
+                    alphas = alphas[:, y0:y1 + 1, x0:x1 + 1]
+                    h, w = images.shape[1:3]
         one = 255 if alphas.dtype == np.uint8 else 1.0
         # opacity is judged on the ORIGINAL alpha; for padded sizes the
         # decoder rebuilds the ones-inside/zeros-outside pattern from the
@@ -166,7 +206,7 @@ class RGBAFileCodec:
             masked = self._jit("mask_apply", lambda x, m: jnp.where(
                 m > 0, x, m))(x_dev, recon_mask)
         rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask)
-        return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i))
+        return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i), crop)
                 for i in range(b)]
 
     def decode_batch(self, blobs: list[bytes],
@@ -184,6 +224,9 @@ class RGBAFileCodec:
         h, w = metas[0]["height"], metas[0]["width"]
         assert all(m["height"] == h and m["width"] == w for m in metas), \
             "decode_batch requires same-sized images"
+        crop = metas[0]["crop"]
+        assert all(m["crop"] == crop for m in metas), \
+            "decode_batch requires identical crop placements"
         b = len(metas)
         # the RGB z-latent sits at /64 of the (padded) coding size; header
         # h, w are the original dims to crop back to
@@ -217,7 +260,14 @@ class RGBAFileCodec:
             pack = self._jit(f"pack_u8{(h, w)}", lambda x, m: jnp.round(
                 jnp.concatenate([x[:, :h, :w], m[:, :h, :w]], -1)
                 * 255.0).astype(jnp.uint8))
-            return np.asarray(pack(rgb, recon_mask))
-        cat = self._jit(f"pack_f32{(h, w)}", lambda x, m: jnp.concatenate(
-            [x[:, :h, :w], m[:, :h, :w]], -1))
-        return np.asarray(cat(rgb, recon_mask))
+            out = np.asarray(pack(rgb, recon_mask))
+        else:
+            cat = self._jit(f"pack_f32{(h, w)}", lambda x, m: jnp.concatenate(
+                [x[:, :h, :w], m[:, :h, :w]], -1))
+            out = np.asarray(cat(rgb, recon_mask))
+        if crop is not None:
+            ch, cw, y0, x0 = crop
+            canvas = np.zeros((b, ch, cw, 4), out.dtype)
+            canvas[:, y0:y0 + h, x0:x0 + w] = out
+            return canvas
+        return out

@@ -46,11 +46,13 @@ class PipelinedCodec:
 
     # ------------------------------------------------------------ streams
 
-    def encode_stream(self, batches: Iterable[tuple]) -> Iterator[List[bytes]]:
+    def encode_stream(self, batches: Iterable[tuple],
+                      **kw) -> Iterator[List[bytes]]:
         """batches: iterable of (images, alphas) ndarray pairs.
-        Yields the per-batch list of container blobs, in order."""
+        Yields the per-batch list of container blobs, in order.
+        Extra kwargs (e.g. bbox=True) pass through to encode_batch."""
         yield from self._run(batches,
-                             lambda ba: self.codec.encode_batch(*ba))
+                             lambda ba: self.codec.encode_batch(*ba, **kw))
 
     def decode_stream(self, blob_batches: Iterable[Sequence[bytes]],
                       output: str = "float32") -> Iterator[np.ndarray]:

@@ -237,3 +237,172 @@ def test_unpack_rejects_truncated_blobs():
             continue
         # a prefix that still parses must at least consume <= cut
         assert unpack_rgba(blob[:cut])["consumed"] <= cut
+
+
+def test_pack_unpack_crop_fields():
+    rgb = {"strings": [b"\x01\x02", b"\x03"], "shape": (1, 1)}
+    blob = pack_rgba(64, 64, rgb, None, crop=(512, 768, 128, 320))
+    meta = unpack_rgba(blob)
+    assert meta["crop"] == (512, 768, 128, 320)
+    assert meta["height"] == 64 and meta["width"] == 64
+    assert meta["consumed"] == len(blob)
+    # uncropped blobs keep crop=None and the old byte layout
+    plain = pack_rgba(64, 64, rgb, None)
+    assert unpack_rgba(plain)["crop"] is None
+    assert len(blob) == len(plain) + 16
+    # truncation inside the crop fields is a clean ValueError
+    for cut in range(len(blob)):
+        try:
+            unpack_rgba(blob[:cut])
+        except ValueError:
+            continue
+        assert unpack_rgba(blob[:cut])["consumed"] <= cut
+
+
+@pytest.mark.skipif(not rans.available(), reason="native rans not built")
+def test_rgba_file_codec_bbox_mode():
+    """Alpha-bbox serving mode: encoding a canvas with bbox=True must emit
+    the exact bitstream of directly encoding the tight crop (transparent
+    borders cost zero bits and zero model FLOPs), and decode must place
+    the reconstruction back into a transparent canvas at the recorded
+    offset.  This is the reference's zero-window skip
+    (masked_win_attention.py:35-47) taken to the container level."""
+    import jax
+    import jax.numpy as jnp
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec, unpack_rgba
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+
+    key = jax.random.PRNGKey(0)
+    d = synthetic_rgba_batch(1, 64, 64, seed=11)
+    content_img = d["image"]
+    content_a = np.clip(d["alpha"], 0.25, 1.0)  # every content pixel visible
+
+    # place the 64x64 content at (32, 32) inside a 128x128 transparent canvas
+    img = np.zeros((1, 128, 128, 3), np.float32)
+    alpha = np.zeros((1, 128, 128, 1), np.float32)
+    img[:, 32:96, 32:96] = content_img
+    alpha[:, 32:96, 32:96] = content_a
+
+    mask_model, rgb_model = MaskCodec(), RGBCodec()
+    m = jnp.asarray(content_a)
+    mask_params = mask_model.init({"params": key, "noise": key}, m,
+                                  training=False)["params"]
+    rgb_params = rgb_model.init({"params": key, "noise": key},
+                                jnp.asarray(content_img), m, m,
+                                mask_pyramid(m), training=False)["params"]
+    codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
+                          CodecIO(mask_model, mask_params, kind="mask"))
+
+    blob_bbox = codec.encode(img, alpha, bbox=True)
+    meta = unpack_rgba(blob_bbox)
+    assert meta["crop"] == (128, 128, 32, 32)
+    assert (meta["height"], meta["width"]) == (64, 64)
+
+    # oracle: bit-identical to encoding the tight crop directly
+    blob_direct = codec.encode(content_img, content_a)
+    direct = unpack_rgba(blob_direct)
+    assert meta["rgb"]["strings"] == direct["rgb"]["strings"]
+    assert meta["mask"]["strings"] == direct["mask"]["strings"]
+    # and far smaller than coding the full canvas
+    blob_full = codec.encode(img, alpha)
+    assert len(blob_bbox) < len(blob_full)
+
+    rgba = codec.decode(blob_bbox)
+    assert rgba.shape == (1, 128, 128, 4)
+    inner = codec.decode(blob_direct)
+    np.testing.assert_allclose(rgba[:, 32:96, 32:96], inner, atol=1e-6)
+    outside = np.ones((1, 128, 128, 1), bool)
+    outside[:, 32:96, 32:96] = False
+    np.testing.assert_array_equal(rgba[outside[..., 0]], 0.0)
+
+    # uint8 output places into a uint8 canvas
+    u8 = codec.decode_batch([blob_bbox], output="uint8")
+    assert u8.dtype == np.uint8 and u8.shape == (1, 128, 128, 4)
+    np.testing.assert_array_equal(u8[outside[..., 0]], 0)
+
+    # rectangular opaque sprite: cropped alpha is all-ones -> the mask
+    # stream disappears entirely (bbox turns "opaque" from a whole-image
+    # property into a within-bbox property)
+    alpha_rect = np.zeros_like(alpha)
+    alpha_rect[:, 32:96, 32:96] = 1.0
+    img_rect = np.where(alpha_rect > 0, img, 0.0)
+    blob_rect = codec.encode(img_rect, alpha_rect, bbox=True)
+    mr = unpack_rgba(blob_rect)
+    assert mr["mask"] is None and mr["crop"] == (128, 128, 32, 32)
+    rgba_rect = codec.decode(blob_rect)
+    np.testing.assert_array_equal(rgba_rect[:, 32:96, 32:96, 3], 1.0)
+    np.testing.assert_array_equal(rgba_rect[outside[..., 0]], 0.0)
+
+    # degenerate cases fall back to uncropped coding
+    assert unpack_rgba(codec.encode(content_img, content_a,
+                                    bbox=True))["crop"] is None  # full bbox
+    assert unpack_rgba(codec.encode(np.zeros_like(content_img),
+                                    np.zeros_like(content_a),
+                                    bbox=True))["crop"] is None  # empty bbox
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not rans.available(), reason="native rans not built")
+def test_rgba_file_codec_bbox_batch_union():
+    """encode_batch(bbox=True) crops to the UNION bbox of the batch (one
+    shape -> one set of compiled executables); every image decodes into
+    the same canvas with content at its own position inside the union."""
+    import jax
+    import jax.numpy as jnp
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec, unpack_rgba
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+
+    key = jax.random.PRNGKey(0)
+    d = synthetic_rgba_batch(2, 64, 64, seed=23)
+    content_a = np.clip(d["alpha"], 0.25, 1.0)
+    img = np.zeros((2, 192, 192, 3), np.float32)
+    alpha = np.zeros((2, 192, 192, 1), np.float32)
+    offs = [(16, 32), (64, 96)]          # different placements per image
+    for i, (oy, ox) in enumerate(offs):
+        img[i, oy:oy + 64, ox:ox + 64] = d["image"][i]
+        alpha[i, oy:oy + 64, ox:ox + 64] = content_a[i]
+    # union bbox: rows 16..127, cols 32..159 -> crop 112x128 at (16, 32)
+
+    mask_model, rgb_model = MaskCodec(), RGBCodec()
+    m = jnp.asarray(content_a[:1])
+    mask_params = mask_model.init({"params": key, "noise": key}, m,
+                                  training=False)["params"]
+    rgb_params = rgb_model.init({"params": key, "noise": key},
+                                jnp.asarray(d["image"][:1]), m, m,
+                                mask_pyramid(m), training=False)["params"]
+    codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
+                          CodecIO(mask_model, mask_params, kind="mask"))
+
+    blobs = codec.encode_batch(img, alpha, bbox=True)
+    metas = [unpack_rgba(b) for b in blobs]
+    assert all(m2["crop"] == (192, 192, 16, 32) for m2 in metas)
+    assert all((m2["height"], m2["width"]) == (112, 128) for m2 in metas)
+
+    # oracle: bit-identical to directly encoding the union crop (112x128,
+    # which also exercises /64 transparent-padding UNDER the bbox crop)
+    direct = codec.encode_batch(img[:, 16:128, 32:160],
+                                alpha[:, 16:128, 32:160])
+    for b_bbox, b_dir in zip(blobs, direct):
+        mb, md = unpack_rgba(b_bbox), unpack_rgba(b_dir)
+        assert mb["rgb"]["strings"] == md["rgb"]["strings"]
+        assert (mb["mask"] is None) == (md["mask"] is None)
+        if mb["mask"] is not None:
+            assert mb["mask"]["strings"] == md["mask"]["strings"]
+
+    rgba = codec.decode_batch(blobs)
+    assert rgba.shape == (2, 192, 192, 4)
+    inner = codec.decode_batch(direct)
+    np.testing.assert_allclose(rgba[:, 16:128, 32:160], inner, atol=1e-6)
+    for i in range(2):
+        # everything outside the union bbox is exactly transparent
+        out = np.ones((192, 192), bool)
+        out[16:128, 32:160] = False
+        np.testing.assert_array_equal(rgba[i][out], 0.0)
