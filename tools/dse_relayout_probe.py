@@ -245,6 +245,41 @@ def main_deconv():
           flush=True)
 
 
+def main_deconv_nchw():
+    """Final deconv 192->3 in NCHW logical layout: output lanes become
+    spatial W (full 128) instead of C=3 (3/128 useful).  XLA's layout
+    assignment may already do this internally — measure, including the
+    NHWC<->NCHW transposes a real model would pay at the boundaries."""
+    print("devices:", jax.devices(), "variant: deconv_nchw", flush=True)
+    key = jax.random.PRNGKey(4)
+    n, co = 192, 3
+    w = jax.random.normal(key, (5, 5, n, co), jnp.float32) * 0.05
+    xs = [jax.random.normal(jax.random.fold_in(key, 10 + i),
+                            (B, H, W, n), jnp.bfloat16) for i in range(3)]
+    wf = jnp.flip(w, (0, 1)).astype(jnp.bfloat16)
+
+    def nhwc(x):
+        return jax.lax.conv_general_dilated(
+            x, wf, (1, 1), ((2, 3), (2, 3)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def nchw(x):
+        xc = x.transpose(0, 3, 1, 2)
+        wc = wf.transpose(3, 2, 0, 1)        # OIHW
+        y = jax.lax.conv_general_dilated(
+            xc, wc, (1, 1), ((2, 3), (2, 3)), lhs_dilation=(2, 2),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return y.transpose(0, 2, 3, 1)
+
+    f0, f1 = jax.jit(nhwc), jax.jit(nchw)
+    ref, got = f0(xs[0]), f1(xs[0])
+    err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
+    t0 = device_time(f0, [(x,) for x in xs], iters=20)
+    t1 = device_time(f1, [(x,) for x in xs], iters=20)
+    print(f"deconv 192->3 NHWC: {t0*1e3:7.2f} ms | NCHW(+transposes): "
+          f"{t1*1e3:7.2f} ms  (max|err|={err:.2e})", flush=True)
+
+
 def main_gate():
     """WinGate RU chain (conv1x1 192->96, conv3x3 96->96, conv1x1 96->192,
     x3 trunk + x3 gate + final 1x1) plain vs 4-image packed block-diag.
@@ -316,6 +351,8 @@ def main_gate():
 if __name__ == "__main__":
     if sys.argv[1:2] == ["deconv"]:
         main_deconv()
+    elif sys.argv[1:2] == ["deconv_nchw"]:
+        main_deconv_nchw()
     elif sys.argv[1:2] == ["gate"]:
         main_gate()
     else:

@@ -41,15 +41,31 @@ def train_one(kind, lam, steps, outdir):
                       compute_dtype="bfloat16")
     cls = MaskTrainer if kind == "mask" else RGBTrainer
     ckdir = os.path.join(outdir, f"{kind}_{lam}_ck")
+    # crash/extend resume: params-only from the latest iter_N.ckpt (the
+    # reference's own resume semantics — torch state_dict has no optimizer
+    # state either, trainRGB.py:83-96)
+    start, params = 0, None
+    latest = latest_checkpoint(ckdir)
+    if latest is not None:
+        from rgba_tpu.train.checkpoint import step_from_path
+        start = step_from_path(latest)
+        if start >= steps:
+            print(f"[{kind} λ={lam}] already trained to {start} — reusing",
+                  flush=True)
+            return ckdir
+        print(f"[{kind} λ={lam}] resuming from step {start}", flush=True)
     trainer = cls(cfg, ckdir)
     loader = BatchLoader(SynthDataset(n=256, hw=256),
                          batch_size=cfg.batch_size, num_workers=4, seed=0)
     it = iter(loader)
-    state = trainer.init_state(next(it))
+    if latest is not None:
+        tmpl = jax.device_get(trainer.init_state(next(it)).params)
+        params = load_checkpoint(tmpl, latest)
+    state = trainer.init_state(next(it), params=params, step=start)
     step_fn = trainer.compiled_step()
-    rng = jax.random.PRNGKey(lam)
+    rng = jax.random.PRNGKey(lam + start)
     t0 = time.time()
-    for i in range(steps):
+    for i in range(start, steps):
         try:
             batch = next(it)
         except StopIteration:
@@ -64,9 +80,11 @@ def train_one(kind, lam, steps, outdir):
             print(f"[{kind} λ={lam}] step {i}: "
                   f"rd={float(m['rd_loss']):.3f} "
                   f"bpp={float(m['bpp']):.4f}", flush=True)
+        if (i + 1) % 800 == 0 and (i + 1) < steps:
+            save_checkpoint(state.params, ckdir, i + 1)
     save_checkpoint(state.params, ckdir, steps)
-    print(f"[{kind} λ={lam}] {steps} steps in {time.time() - t0:.0f}s",
-          flush=True)
+    print(f"[{kind} λ={lam}] steps {start}..{steps} in "
+          f"{time.time() - t0:.0f}s", flush=True)
     return ckdir
 
 
