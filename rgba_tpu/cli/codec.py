@@ -47,18 +47,16 @@ def _load_codecs(rgb_path: str, mask_path: str):
     rgb_params = rgb_model.init({"params": key, "noise": key}, x, m, m,
                                 mask_pyramid(m), training=False)["params"]
 
-    def load(path, template, kind):
+    def load(path, template):
         if not path:
             return template
-        if path.endswith((".pth.tar", ".pth", ".pt")):
-            from ..train.torch_import import convert_state_dict, load_pth_tar
-            return convert_state_dict(load_pth_tar(path),
-                                      jax.device_get(template), kind=kind)
+        # load_checkpoint auto-detects reference .pth.tar files and infers
+        # the codec kind from the template tree
         from ..train.checkpoint import load_checkpoint
         return load_checkpoint(jax.device_get(template), path)
 
-    rgb_params = load(rgb_path, rgb_params, "rgb")
-    mask_params = load(mask_path, mask_params, "mask")
+    rgb_params = load(rgb_path, rgb_params)
+    mask_params = load(mask_path, mask_params)
     return RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
                          CodecIO(mask_model, mask_params, kind="mask"))
 

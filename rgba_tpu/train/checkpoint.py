@@ -44,8 +44,30 @@ def save_rotating(tree: Any, directory: str, step: int, interval: int,
     return path
 
 
+TORCH_SUFFIXES = (".pth.tar", ".pth", ".pt")
+
+
+def _torch_kind(template: Any) -> str:
+    """Infer which codec a param tree belongs to (for .pth.tar import):
+    the mask encoder's first layer is ``conv0`` (MaskEncoder), the RGB
+    encoder's is ``x1`` (AnalysisTransform)."""
+    enc = template.get("encoder", {}) if isinstance(template, dict) else {}
+    return "mask" if "conv0" in enc else "rgb"
+
+
 def load_checkpoint(template: Any, path: str) -> Any:
-    """Restore into `template` (same treedef); partial-tolerant on dicts."""
+    """Restore into `template` (same treedef); partial-tolerant on dicts.
+
+    Reference torch checkpoints (``.pth.tar``/``.pth``/``.pt``,
+    README.md:56-58 released weights) are auto-detected and imported via
+    train/torch_import.py, so every ``-p``/``-pm`` flag and resume path
+    accepts them directly like the reference's load_model
+    (trainRGB.py:83-96)."""
+    if path.endswith(TORCH_SUFFIXES):
+        from .torch_import import convert_state_dict, load_pth_tar
+        tmpl = jax.device_get(template)
+        return convert_state_dict(load_pth_tar(path), tmpl,
+                                  kind=_torch_kind(tmpl))
     with open(path, "rb") as f:
         data = f.read()
     try:

@@ -137,3 +137,28 @@ def test_missing_key_strictness(mask_params):
     np.testing.assert_array_equal(
         np.asarray(restored["encoder"]["conv0"]["kernel"]),
         np.asarray(orig["encoder"]["conv0"]["kernel"]))
+
+
+def test_load_checkpoint_pth_tar_autodetect(tmp_path, mask_params,
+                                            rgb_params):
+    """load_checkpoint auto-imports reference .pth.tar files (so -p/-pm and
+    resume paths accept the released torch weights directly), inferring the
+    codec kind from the template tree."""
+    import torch
+
+    from rgba_tpu.train.checkpoint import load_checkpoint, step_from_path
+
+    for params, mapper in ((mask_params, flax_path_to_torch_mask),
+                           (rgb_params, flax_path_to_torch_rgb)):
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in _fake_torch_sd(params, mapper).items()}
+        path = str(tmp_path / "iter_600000.pth.tar")
+        torch.save(sd, path)
+        tmpl = jax.device_get(params)
+        restored = load_checkpoint(tmpl, path)
+        for (p1, a), (p2, b) in zip(_flat_paths(tmpl),
+                                    _flat_paths(restored)):
+            assert p1 == p2
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=p1)
+        assert step_from_path(path) == 600000
