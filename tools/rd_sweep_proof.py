@@ -128,13 +128,16 @@ def main():
     bpps = [points[lam]["real_bpp"] for lam in LAMBDAS]
     psnrs = [points[lam]["psnr"] for lam in LAMBDAS]
     print(f"RD sweep: bpp={bpps} psnr={psnrs}", flush=True)
+    # record the points BEFORE asserting — a failed ordering check (e.g.
+    # an undertrained high-λ point) should still leave the data on disk,
+    # and the checkpoints allow extending the run with a larger step count
+    with open(os.path.join(outdir, "rd_points.json"), "w") as f:
+        json.dump(points, f, indent=2)
     assert all(np.isfinite(v) and v > 0 for v in bpps), bpps
     # monotone rate in λ — the core RD contract
     assert bpps[0] < bpps[1] < bpps[2], bpps
     # distortion should not get WORSE as λ (and rate) grow; allow noise
     assert psnrs[2] > psnrs[0] - 0.1, psnrs
-    with open(os.path.join(outdir, "rd_points.json"), "w") as f:
-        json.dump(points, f, indent=2)
     print("rd_sweep_proof OK", flush=True)
 
 
