@@ -105,7 +105,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rgba_tpu.core.precision import SERVE_POLICY
+    from rgba_tpu.core.precision import policy_from_str
     from rgba_tpu.data.synthetic import synthetic_rgba_batch
     from rgba_tpu.models.pipeline import RGBAPipeline
 
@@ -115,7 +115,9 @@ def main():
     height, width = 512, 768
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
-    model = RGBAPipeline(policy=SERVE_POLICY)
+    # BENCH_POLICY=serve-int8 measures the dynamic W8A8 conv path
+    model = RGBAPipeline(policy=policy_from_str(
+        os.environ.get("BENCH_POLICY", "serve")))
     # several distinct batches — identical repeated executions can be
     # deduplicated by the runtime and would fake the timing
     datas = [synthetic_rgba_batch(batch, height, width, seed=s)

@@ -36,6 +36,12 @@ class Policy:
     # 2.27x on v5e (ops/enhance.py:dse_packed_xla). Differentiable; off in
     # parity policies because the reordering shifts bf16 rounding.
     packed_dse: bool = False
+    # serving-only: dynamic W8A8 int8 convs (ops/quant.py).  Measured
+    # 0.76x end-to-end vs bf16 serve on v5e (PERFORMANCE.md int8 section)
+    # — the per-conv quantize/dequant HBM passes outweigh the 2x int8 MXU
+    # rate on these bandwidth-bound shapes; kept for API completeness and
+    # denser-model configs.  No gradient (round): never set in training.
+    int8_conv: bool = False
 
     @property
     def gelu_kind(self) -> str:
@@ -69,6 +75,10 @@ SERVE_POLICY = Policy(compute_dtype=jnp.bfloat16,
                       fused_win_attn=True,
                       fused_dse=False,
                       packed_dse=True)
+# int8 serving: SERVE_POLICY + dynamic W8A8 convs.  Measured SLOWER than
+# bf16 serve end-to-end (46.3 vs 60.9 img/s) at PSNR parity — opt-in
+# only; see PERFORMANCE.md "int8 MXU probe" for the full verdict.
+SERVE_INT8_POLICY = dataclasses.replace(SERVE_POLICY, int8_conv=True)
 
 
 def policy_from_str(name: str) -> Policy:
@@ -78,4 +88,6 @@ def policy_from_str(name: str) -> Policy:
         return DEFAULT_POLICY
     if name in ("serve", "serving"):
         return SERVE_POLICY
+    if name in ("serve-int8", "int8"):
+        return SERVE_INT8_POLICY
     raise ValueError(f"unknown compute dtype: {name}")

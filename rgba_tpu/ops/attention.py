@@ -239,10 +239,16 @@ class _ConvP(nn.Module):
 def _conv_apply(x, p, policy, pad):
     """Same math as the Conv module (stride 1)."""
     dt = policy.compute_dtype
-    y = jax.lax.conv_general_dilated(
-        x.astype(dt), p["kernel"].astype(dt), (1, 1),
-        ((pad, pad), (pad, pad)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=policy.precision)
+    if policy.int8_conv:
+        from .quant import int8_conv
+        y = int8_conv(x.astype(dt), p["kernel"], window_strides=(1, 1),
+                      padding=((pad, pad), (pad, pad)))
+    else:
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), p["kernel"].astype(dt), (1, 1),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=policy.precision)
     return y + p["bias"].astype(dt)
 
 

@@ -55,6 +55,11 @@ class Conv(nn.Module):
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
             y = _strided_conv5x5_s2_s2d(x.astype(dtype), w.astype(dtype),
                                         self.policy.precision)
+        elif self.policy.int8_conv:
+            from .quant import int8_conv
+            y = int8_conv(x.astype(dtype), w,
+                          window_strides=_pair(self.stride),
+                          padding=((pad, pad), (pad, pad)))
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype),
@@ -144,6 +149,15 @@ class ConvTranspose(nn.Module):
         if self.use_subpixel and (k, self.stride, p, op) == (5, 2, 2, 1):
             y = _subpixel_deconv5x5_s2(x.astype(dtype), w.astype(dtype),
                                        self.policy.precision)
+        elif self.policy.int8_conv:
+            from .quant import int8_conv
+            lo = k - 1 - p
+            hi = k - 1 - p + op
+            y = int8_conv(x.astype(dtype), w,
+                          window_strides=(1, 1),
+                          padding=((lo, hi), (lo, hi)),
+                          lhs_dilation=_pair(self.stride),
+                          flip_kernel=True)
         else:
             lo = k - 1 - p
             hi = k - 1 - p + op

@@ -52,10 +52,16 @@ class _EnhParams(nn.Module):
 
 def _conv(x, p, policy, pad):
     dt = policy.compute_dtype
-    y = jax.lax.conv_general_dilated(
-        x.astype(dt), p["kernel"].astype(dt), (1, 1),
-        ((pad, pad), (pad, pad)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=policy.precision)
+    if policy.int8_conv:
+        from .quant import int8_conv
+        y = int8_conv(x.astype(dt), p["kernel"], window_strides=(1, 1),
+                      padding=((pad, pad), (pad, pad)))
+    else:
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), p["kernel"].astype(dt), (1, 1),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=policy.precision)
     return y + p["bias"].astype(dt)
 
 
@@ -116,11 +122,19 @@ def dse_packed_xla(x, params, policy, leaky, groups: int = PACK_GROUPS):
         return t.reshape(bg * g, hh, ww, cc)
 
     def conv(t, p, pad):
-        wb = _blockdiag(p["kernel"].astype(dt), g)
-        y = jax.lax.conv_general_dilated(
-            t, wb, (1, 1), ((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=policy.precision)
+        if policy.int8_conv:
+            # quantize the ORIGINAL kernel (per-channel scales tile with
+            # the block-diagonal structure; the kron zeros stay exact)
+            from .quant import int8_conv
+            wb = _blockdiag(p["kernel"], g)
+            y = int8_conv(t, wb, window_strides=(1, 1),
+                          padding=((pad, pad), (pad, pad)))
+        else:
+            wb = _blockdiag(p["kernel"].astype(dt), g)
+            y = jax.lax.conv_general_dilated(
+                t, wb, (1, 1), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=policy.precision)
         return y + jnp.tile(p["bias"].astype(dt), (g,))
 
     xp = pack(x.astype(dt))
