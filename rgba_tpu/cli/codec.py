@@ -73,10 +73,10 @@ def _write_rgba(path, rgba):
                     "RGBA").save(path)
 
 
-def _encode_one(codec, src, dst, bbox=False):
+def _encode_one(codec, src, dst, bbox=False, rate_gate=False):
     rgb, alpha = _read_rgba(src)
     h, w = rgb.shape[1:3]
-    blob = codec.encode(rgb, alpha, bbox=bbox)
+    blob = codec.encode(rgb, alpha, bbox=bbox, rate_gate=rate_gate)
     with open(dst, "wb") as f:
         f.write(blob)
     raw = os.path.getsize(src)
@@ -119,7 +119,7 @@ def _group_by(keys_items):
     return groups
 
 
-def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False):
+def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False, rate_gate=False):
     from PIL import Image
     from ..eval.pipeline import PipelinedCodec
     paths = sorted(glob.glob(os.path.join(src_dir, "*.png")))
@@ -141,7 +141,8 @@ def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False):
                        np.concatenate([a for _, a in pairs]))
 
         for ch, blobs in zip(chunks,
-                              pipe.encode_stream(feeds(), bbox=bbox)):
+                              pipe.encode_stream(feeds(), bbox=bbox,
+                                                 rate_gate=rate_gate)):
             for p, blob in zip(ch, blobs):
                 dst = os.path.join(
                     dst_dir,
@@ -203,17 +204,23 @@ def main(argv=None):
                    help="crop to the alpha bounding box before coding "
                         "(union bbox per batch in encode-dir); skips "
                         "bits AND compute for transparent borders")
+    p.add_argument("--rate-gate", action="store_true",
+                   help="skip entropy-coding RGB latent cells in fully-"
+                        "transparent regions (arbitrary alpha shapes; "
+                        "composes with --bbox). Measured ~20%% rate "
+                        "saving at -0.02 dB on half-transparent content")
     args = p.parse_args(argv)
 
     codec = _load_codecs(args.rgb_model, args.mask_model)
 
     if args.command == "encode":
-        _encode_one(codec, args.input, args.output, bbox=args.bbox)
+        _encode_one(codec, args.input, args.output, bbox=args.bbox,
+                    rate_gate=args.rate_gate)
     elif args.command == "decode":
         _decode_one(codec, args.input, args.output)
     elif args.command == "encode-dir":
         _encode_dir(codec, args.input, args.output, args.batch,
-                    bbox=args.bbox)
+                    bbox=args.bbox, rate_gate=args.rate_gate)
     else:
         _decode_dir(codec, args.input, args.output, args.batch)
 

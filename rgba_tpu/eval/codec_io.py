@@ -47,11 +47,20 @@ class CodecIO:
     kind: "rgb" or "mask".
     """
 
-    def __init__(self, model, params, kind: str = "rgb"):
+    def __init__(self, model, params, kind: str = "rgb",
+                 rate_gate: bool = False):
         self.model = model
         self.params = params
         self.kind = kind
         self.num_slices = 10 if kind == "rgb" else 5
+        # alpha-rate gating (rgb only): latent cells whose /8 pool of the
+        # recon alpha is exactly 0 are never entropy-coded — the decoder
+        # derives the same gate from the same decoded alpha and fills
+        # symbol 0 (y_hat = mu + lrp).  See RGBCodec.rate_gate for the
+        # forward-estimate analog.  Per-call override via compress_batch /
+        # decompress_batch(rate_gate=...) (the container passes its header
+        # flag so old blobs decode with either setting).
+        self.rate_gate = bool(rate_gate) and kind == "rgb"
         self.gc = GaussianConditional(get_scale_table())
         self.gc.update()
         self.eb_tables = self._build_eb_tables()
@@ -66,19 +75,23 @@ class CodecIO:
 
     # ------------------------------------------------------- device fns
 
-    @functools.cached_property
-    def _compress_fn(self):
+    def _build_compress_fn(self, gated: bool):
         model = self.model
         kind = self.kind
         build_indexes = self.gc.build_indexes
 
         def run(params, *args):
             def inner(m):
+                if gated:
+                    gate, *rest = args
+                    gate_f = gate.astype(jnp.float32)
+                else:
+                    rest = args
                 if kind == "rgb":
-                    x, mask, me2, me3 = args
+                    x, mask, me2, me3 = rest
                     y = m.encoder(m.policy.cast_in(x), me2, me3)
                 else:
-                    (mask_in,) = args
+                    (mask_in,) = rest
                     y = m.encoder(m.policy.cast_in(mask_in))
                 y = y.astype(jnp.float32)
                 b, h, w, mch = y.shape
@@ -99,6 +112,10 @@ class CodecIO:
                     mu, scale = m.prior.slice_stats(lm, ls, support, i, (h, w))
                     index = build_indexes(scale)
                     sym = jnp.round(y_slice - mu)
+                    if gated:
+                        # gated cells carry symbol 0 — same y_hat the
+                        # decoder reconstructs without reading any bits
+                        sym = sym * gate_f
                     y_hat = sym + mu
                     y_hat = y_hat + m.prior.slice_lrp(lm, support, y_hat, i)
                     y_hat_slices.append(y_hat)
@@ -113,6 +130,24 @@ class CodecIO:
             return model.apply({"params": params}, method=inner)
 
         return jax.jit(run)
+
+    @functools.cached_property
+    def _compress_fn(self):
+        return self._build_compress_fn(False)
+
+    @functools.cached_property
+    def _compress_fn_gated(self):
+        return self._build_compress_fn(True)
+
+    @functools.cached_property
+    def _gate_fn(self):
+        """(B, H, W, 1) recon alpha -> (B, H/8, W/8, 1) bool alive-gate.
+
+        avg-pool chains of non-negative inputs are exactly zero iff every
+        contributing pixel is zero, so (pool > 0) is reduction-order
+        independent — the compress and decompress processes provably
+        derive the same gate from the same decoded alpha."""
+        return jax.jit(lambda mask: mask_pyramid(mask)[2] > 0)
 
     @functools.cached_property
     def _hyper_decode_fn(self):
@@ -200,19 +235,35 @@ class CodecIO:
     # ----------------------------------------------------------- public
 
     def compress_batch(self, image: Optional[np.ndarray] = None,
-                       mask: Optional[np.ndarray] = None) -> List[dict]:
+                       mask: Optional[np.ndarray] = None,
+                       rate_gate: Optional[bool] = None) -> List[dict]:
         """Batched compress: one device pass for all images, then B
         independent rANS streams coded on host threads. Returns one
-        {"strings": [y, z], "shape": (zh, zw)} dict per image."""
+        {"strings": [y, z], "shape": (zh, zw)} dict per image.
+
+        rate_gate overrides the constructor default (rgb only): gated
+        latent cells are excluded from the y stream entirely."""
+        rg = self.rate_gate if rate_gate is None else (
+            bool(rate_gate) and self.kind == "rgb")
+        gate_host = None
         if self.kind == "rgb":
-            me = mask_pyramid(jnp.asarray(mask))
-            args = (jnp.asarray(image), jnp.asarray(mask), me[1], me[2])
+            mask_dev = jnp.asarray(mask)
+            me = mask_pyramid(mask_dev)
+            args = (jnp.asarray(image), mask_dev, me[1], me[2])
             batch = image.shape[0]
+            if rg:
+                gate_dev = self._gate_fn(mask_dev)
+                gate_host = np.asarray(jax.device_get(gate_dev))
+                y_syms, y_idxs, z_sym, z_shape = jax.device_get(
+                    self._compress_fn_gated(self.params, gate_dev, *args))
+            else:
+                y_syms, y_idxs, z_sym, z_shape = jax.device_get(
+                    self._compress_fn(self.params, *args))
         else:
             args = (jnp.asarray(mask),)
             batch = mask.shape[0]
-        y_syms, y_idxs, z_sym, z_shape = jax.device_get(
-            self._compress_fn(self.params, *args))
+            y_syms, y_idxs, z_sym, z_shape = jax.device_get(
+                self._compress_fn(self.params, *args))
         y_syms = y_syms.astype(np.int32)
         y_idxs = y_idxs.astype(np.int32)
         z_sym = z_sym.astype(np.int32)
@@ -222,14 +273,21 @@ class CodecIO:
         z_indexes = np.broadcast_to(
             np.arange(c, dtype=np.int32), z_sym.shape[1:])
         shape = tuple(int(s) for s in z_shape[1:3])
+        n_slices, _, lh, lw, sw = y_syms.shape
 
         def code_one(b):
             z_string = rans.encode_with_indexes(
                 z_sym[b].ravel(), z_indexes.ravel(),
                 t["quantized_cdfs"], t["cdf_lengths"], t["offsets"])
             # slice-major symbol order — the decoder reads slice 0 first
+            syms_b = y_syms[:, b].ravel()
+            idxs_b = y_idxs[:, b].ravel()
+            if gate_host is not None:
+                alive = np.broadcast_to(
+                    gate_host[b][None], (n_slices, lh, lw, sw)).ravel()
+                syms_b, idxs_b = syms_b[alive], idxs_b[alive]
             y_string = rans.encode_with_indexes(
-                y_syms[:, b].ravel(), y_idxs[:, b].ravel(),
+                syms_b, idxs_b,
                 self.gc.quantized_cdfs, self.gc.cdf_lengths, self.gc.offsets)
             return {"strings": [y_string, z_string], "shape": shape}
 
@@ -239,7 +297,8 @@ class CodecIO:
 
     def decompress_batch(self, compressed: Sequence[dict],
                          mask: Optional[np.ndarray] = None,
-                         device: bool = False) -> np.ndarray:
+                         device: bool = False,
+                         rate_gate: Optional[bool] = None) -> np.ndarray:
         """Batched decompress of same-shaped streams. The slice loop runs
         once for the whole batch: one fused device dispatch + one index
         fetch per slice, with the B rANS streams decoded on host threads.
@@ -248,10 +307,18 @@ class CodecIO:
         fetch) so callers can keep post-processing on-chip — the container
         uses this to chain mask-decode -> constraint -> RGB gating without
         host round trips."""
+        rg = self.rate_gate if rate_gate is None else (
+            bool(rate_gate) and self.kind == "rgb")
         batch = len(compressed)
         zh, zw = compressed[0]["shape"]
         assert all(c["shape"] == (zh, zw) for c in compressed), \
             "decompress_batch requires same-shaped streams"
+        gate_host = None
+        if rg:
+            # the SAME gate the encoder used: both sides hold the same
+            # decoded alpha, and the /8-pool > 0 test is order-independent
+            gate_host = np.asarray(
+                jax.device_get(self._gate_fn(jnp.asarray(mask))))
         t = self.eb_tables
         c = t["quantized_cdfs"].shape[0]
         z_indexes = np.broadcast_to(np.arange(c, dtype=np.int32),
@@ -269,18 +336,32 @@ class CodecIO:
         decoders = [rans.RansDecoder(c["strings"][0]) for c in compressed]
 
         def decode_slice(args):
-            dec, idx = args
-            return dec.decode_stream(idx, self.gc.quantized_cdfs,
-                                     self.gc.cdf_lengths, self.gc.offsets)
+            dec, idx, alive = args
+            if alive is None:
+                return dec.decode_stream(idx, self.gc.quantized_cdfs,
+                                         self.gc.cdf_lengths, self.gc.offsets)
+            flat = idx.ravel()
+            decoded = dec.decode_stream(flat[alive], self.gc.quantized_cdfs,
+                                        self.gc.cdf_lengths, self.gc.offsets)
+            out = np.zeros(flat.size, np.int32)   # gated cells: symbol 0
+            out[alive] = decoded
+            return out.reshape(idx.shape)
 
+        alives: List = [None] * batch
         y_hats: List = []
         mu, index = self._first_stats_fn(self.params, lm, ls)
         for i in range(self.num_slices):
             # uint8 down, int16 up — the tunnel pays per byte
             idx_np = jax.device_get(index).astype(np.int32)
+            if gate_host is not None and alives[0] is None:
+                sw = idx_np.shape[-1]
+                lh, lw = idx_np.shape[1], idx_np.shape[2]
+                alives = [np.broadcast_to(gate_host[b], (1, lh, lw, sw))
+                          .ravel() for b in range(batch)]
             syms = list(self._pool.map(
                 decode_slice,
-                [(decoders[b], idx_np[b:b + 1]) for b in range(batch)]))
+                [(decoders[b], idx_np[b:b + 1], alives[b])
+                 for b in range(batch)]))
             sym_dev = jnp.asarray(np.concatenate(syms).astype(np.int16))
             if i < self.num_slices - 1:
                 y_prev, mu, index = self._step_fns[i + 1](

@@ -11,6 +11,10 @@ Layout (little-endian):
   version u8                = 1
   flags   u8                bit0: mask stream present (0 => opaque alpha)
                             bit1: crop placement present (alpha-bbox mode)
+                            bit2: RGB stream is alpha-rate-gated (latent
+                            cells with zero /8 recon-alpha pool are not
+                            coded; decoder re-derives the gate from the
+                            decoded mask stream)
   height  u32, width u32    coded image size (pre-/64-padding)
   zh, zw  u16 x2            RGB z-latent spatial shape
   mzh,mzw u16 x2            mask z-latent spatial shape (0 if no mask)
@@ -34,10 +38,11 @@ _MAGIC = b"RGBA"
 
 
 def pack_rgba(height: int, width: int, rgb: dict, mask: dict | None,
-              crop: tuple | None = None) -> bytes:
+              crop: tuple | None = None, rate_gated: bool = False) -> bytes:
     """crop, when given, is (canvas_h, canvas_w, y0, x0): the coded
     height x width region is a window into a larger transparent canvas."""
-    flags = (1 if mask is not None else 0) | (2 if crop is not None else 0)
+    flags = ((1 if mask is not None else 0) | (2 if crop is not None else 0)
+             | (4 if rate_gated else 0))
     zh, zw = rgb["shape"]
     mzh, mzw = mask["shape"] if mask else (0, 0)
     head = struct.pack("<4sBBIIHHHH", _MAGIC, 1, flags, height, width,
@@ -80,6 +85,7 @@ def unpack_rgba(blob: bytes) -> dict:
         off += ln
     out = {
         "height": h, "width": w, "consumed": off, "crop": crop,
+        "rate_gated": bool(flags & 4),
         "rgb": {"strings": [sections[0], sections[1]], "shape": (zh, zw)},
         "mask": None,
     }
@@ -111,9 +117,10 @@ class RGBAFileCodec:
         return self._jits[name]
 
     def encode(self, image: np.ndarray, alpha: np.ndarray,
-               bbox: bool = False) -> bytes:
+               bbox: bool = False, rate_gate: bool = False) -> bytes:
         """image: (1,H,W,3) float32; alpha: (1,H,W,1) float32."""
-        return self.encode_batch(image, alpha, bbox=bbox)[0]
+        return self.encode_batch(image, alpha, bbox=bbox,
+                                 rate_gate=rate_gate)[0]
 
     def decode(self, blob: bytes) -> np.ndarray:
         """Returns (1, H, W, 4) float32 RGBA."""
@@ -122,7 +129,8 @@ class RGBAFileCodec:
     # ------------------------------------------------- batched serving API
 
     def encode_batch(self, images: np.ndarray, alphas: np.ndarray,
-                     bbox: bool = False) -> list[bytes]:
+                     bbox: bool = False,
+                     rate_gate: bool = False) -> list[bytes]:
         """Compress B same-shaped RGBA images in one batched device pass
         per stage (the per-slice autoregression cost is paid once for the
         whole batch). Returns one container blob per image.
@@ -205,8 +213,10 @@ class RGBAFileCodec:
                                    base_mask)()
             masked = self._jit("mask_apply", lambda x, m: jnp.where(
                 m > 0, x, m))(x_dev, recon_mask)
-        rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask)
-        return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i), crop)
+        rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask,
+                                               rate_gate=rate_gate)
+        return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i), crop,
+                          rate_gated=rate_gate)
                 for i in range(b)]
 
     def decode_batch(self, blobs: list[bytes],
@@ -227,6 +237,9 @@ class RGBAFileCodec:
         crop = metas[0]["crop"]
         assert all(m["crop"] == crop for m in metas), \
             "decode_batch requires identical crop placements"
+        rate_gated = metas[0]["rate_gated"]
+        assert all(m["rate_gated"] == rate_gated for m in metas), \
+            "decode_batch requires identical rate-gate flags"
         b = len(metas)
         # the RGB z-latent sits at /64 of the (padded) coding size; header
         # h, w are the original dims to crop back to
@@ -254,7 +267,8 @@ class RGBAFileCodec:
             recon_mask = self._jit(f"dec_base{(b, h, w, hp, wp)}",
                                    base_mask)()
         rgb = self.rgb_io.decompress_batch([m["rgb"] for m in metas],
-                                           mask=recon_mask, device=True)
+                                           mask=recon_mask, device=True,
+                                           rate_gate=rate_gated)
 
         if output == "uint8":
             pack = self._jit(f"pack_u8{(h, w)}", lambda x, m: jnp.round(

@@ -140,12 +140,18 @@ class ChannelARPrior(nn.Module):
 
     # -------------------------------------------------------------- forward
 
-    def __call__(self, y, training: bool = False):
+    def __call__(self, y, training: bool = False, gate=None):
         """Full training/eval entropy pass.
 
         Returns dict: y_hat, y_likelihoods, z_likelihoods, means, scales.
         Matches the slice loop at AutoEncoderRGB_Journal.py:223-271 /
         AutoEncoderMask_Journal.py:252-298.
+
+        gate: optional (B, H, W, 1) float {0,1} alpha-rate gate at latent
+        resolution.  Where gate==0 the symbol is pinned to 0 (y_hat = mu
+        + lrp) and its likelihood to 1 (zero bits) — the estimate analog
+        of the real codec skipping those symbols entirely (eval/codec_io
+        rate_gate).  Serving/eval knob; None during training.
         """
         y = y.astype(jnp.float32)
         b, h, w, m = y.shape
@@ -167,7 +173,11 @@ class ChannelARPrior(nn.Module):
             rng = self.make_rng("noise") if training else None
             lik = self.gaussian.likelihood(y_slice, scale, mu,
                                            training=training, rng=rng)
-            y_hat = ste_round(y_slice - mu) + mu
+            if gate is not None:
+                lik = jnp.where(gate > 0, lik, 1.0)
+                y_hat = ste_round((y_slice - mu) * gate) + mu
+            else:
+                y_hat = ste_round(y_slice - mu) + mu
             y_hat = y_hat + self.slice_lrp(latent_means, support, y_hat, i)
             y_hat_slices.append(y_hat)
             liks.append(lik)

@@ -25,10 +25,13 @@ class RGBAPipeline(nn.Module):
     params/rgb_codec."""
 
     policy: Policy = DEFAULT_POLICY
+    # alpha-rate gating of the RGB latent (see RGBCodec.rate_gate)
+    rate_gate: bool = False
 
     def setup(self):
         self.mask_codec = MaskCodec(policy=self.policy)
-        self.rgb_codec = RGBCodec(policy=self.policy)
+        self.rgb_codec = RGBCodec(policy=self.policy,
+                                  rate_gate=self.rate_gate)
 
     def __call__(self, masked_input, mask, training: bool = False):
         """Full RGBA forward. masked_input: (B,H,W,3); mask: (B,H,W,1)."""

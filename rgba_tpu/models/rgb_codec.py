@@ -93,6 +93,11 @@ class SynthesisTransform(nn.Module):
 
 class RGBCodec(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    # serving/eval: skip coding latent cells whose /8 recon-mask pool is
+    # exactly 0 (y_hat pinned to mu+lrp there, zero bits).  The gate is a
+    # function of the DECODED alpha, so the real codec derives the same
+    # gate on both sides (eval/codec_io.py rate_gate).  Off in training.
+    rate_gate: bool = False
 
     def setup(self):
         self.encoder = AnalysisTransform(policy=self.policy)
@@ -117,7 +122,10 @@ class RGBCodec(nn.Module):
         md2, md3 = md_pyr[1], md_pyr[2]
 
         y = self.encoder(self.policy.cast_in(x), me2, me3)
-        ent = self.prior(y, training=training)
+        gate = None
+        if self.rate_gate and not training:
+            gate = (md_pyr[2] > 0).astype(jnp.float32)
+        ent = self.prior(y, training=training, gate=gate)
         x_hat = self.decoder(ent["y_hat"].astype(self.policy.compute_dtype),
                              md2, md3)
         x_hat = x_hat.astype(jnp.float32)
