@@ -75,18 +75,21 @@ class CodecIO:
 
     # ------------------------------------------------------- device fns
 
-    def _build_compress_fn(self, gated: bool):
+    def _build_compress_fn(self, gated: bool, deadzoned: bool = False):
         model = self.model
         kind = self.kind
         build_indexes = self.gc.build_indexes
 
         def run(params, *args):
             def inner(m):
+                rest = args
+                if deadzoned:
+                    # dz rides as a TRACED scalar: sweeping the deadzone
+                    # width never recompiles this executable
+                    dz, *rest = rest
                 if gated:
-                    gate, *rest = args
+                    gate, *rest = rest
                     gate_f = gate.astype(jnp.float32)
-                else:
-                    rest = args
                 if kind == "rgb":
                     x, mask, me2, me3 = rest
                     y = m.encoder(m.policy.cast_in(x), me2, me3)
@@ -111,7 +114,17 @@ class CodecIO:
                     support = y_hat_slices[:m.prior.max_support_slices]
                     mu, scale = m.prior.slice_stats(lm, ls, support, i, (h, w))
                     index = build_indexes(scale)
-                    sym = jnp.round(y_slice - mu)
+                    r = y_slice - mu
+                    if deadzoned:
+                        # widened zero bin: |r| <= 0.5 + dz codes symbol 0
+                        # (classic deadzone quantizer).  Encoder-only —
+                        # the decoder reconstructs sym + mu either way,
+                        # and y_hat below uses the SAME deadzoned symbols
+                        # the stream carries, so AR support stays in sync.
+                        sym = jnp.sign(r) * jnp.maximum(
+                            jnp.floor(jnp.abs(r) + 0.5 - dz), 0.0)
+                    else:
+                        sym = jnp.round(r)
                     if gated:
                         # gated cells carry symbol 0 — same y_hat the
                         # decoder reconstructs without reading any bits
@@ -138,6 +151,15 @@ class CodecIO:
     @functools.cached_property
     def _compress_fn_gated(self):
         return self._build_compress_fn(True)
+
+    def _compress_variant(self, gated: bool, deadzoned: bool):
+        if not deadzoned:
+            return self._compress_fn_gated if gated else self._compress_fn
+        if not hasattr(self, "_dz_fns"):
+            self._dz_fns = {}
+        if gated not in self._dz_fns:
+            self._dz_fns[gated] = self._build_compress_fn(gated, True)
+        return self._dz_fns[gated]
 
     @functools.cached_property
     def _gate_fn(self):
@@ -236,15 +258,20 @@ class CodecIO:
 
     def compress_batch(self, image: Optional[np.ndarray] = None,
                        mask: Optional[np.ndarray] = None,
-                       rate_gate: Optional[bool] = None) -> List[dict]:
+                       rate_gate: Optional[bool] = None,
+                       deadzone: float = 0.0) -> List[dict]:
         """Batched compress: one device pass for all images, then B
         independent rANS streams coded on host threads. Returns one
         {"strings": [y, z], "shape": (zh, zw)} dict per image.
 
         rate_gate overrides the constructor default (rgb only): gated
-        latent cells are excluded from the y stream entirely."""
+        latent cells are excluded from the y stream entirely.
+        deadzone > 0 widens the quantizer's zero bin by dz on each side
+        (runtime rate control, no retraining, decoder-agnostic)."""
         rg = self.rate_gate if rate_gate is None else (
             bool(rate_gate) and self.kind == "rgb")
+        dzd = float(deadzone) > 0.0
+        pre: list = [jnp.float32(deadzone)] if dzd else []
         gate_host = None
         if self.kind == "rgb":
             mask_dev = jnp.asarray(mask)
@@ -254,16 +281,14 @@ class CodecIO:
             if rg:
                 gate_dev = self._gate_fn(mask_dev)
                 gate_host = np.asarray(jax.device_get(gate_dev))
-                y_syms, y_idxs, z_sym, z_shape = jax.device_get(
-                    self._compress_fn_gated(self.params, gate_dev, *args))
-            else:
-                y_syms, y_idxs, z_sym, z_shape = jax.device_get(
-                    self._compress_fn(self.params, *args))
+                args = (gate_dev,) + args
+            y_syms, y_idxs, z_sym, z_shape = jax.device_get(
+                self._compress_variant(rg, dzd)(self.params, *pre, *args))
         else:
             args = (jnp.asarray(mask),)
             batch = mask.shape[0]
             y_syms, y_idxs, z_sym, z_shape = jax.device_get(
-                self._compress_fn(self.params, *args))
+                self._compress_variant(False, dzd)(self.params, *pre, *args))
         y_syms = y_syms.astype(np.int32)
         y_idxs = y_idxs.astype(np.int32)
         z_sym = z_sym.astype(np.int32)

@@ -117,10 +117,11 @@ class RGBAFileCodec:
         return self._jits[name]
 
     def encode(self, image: np.ndarray, alpha: np.ndarray,
-               bbox: bool = False, rate_gate: bool = False) -> bytes:
+               bbox: bool = False, rate_gate: bool = False,
+               deadzone: float = 0.0) -> bytes:
         """image: (1,H,W,3) float32; alpha: (1,H,W,1) float32."""
         return self.encode_batch(image, alpha, bbox=bbox,
-                                 rate_gate=rate_gate)[0]
+                                 rate_gate=rate_gate, deadzone=deadzone)[0]
 
     def decode(self, blob: bytes) -> np.ndarray:
         """Returns (1, H, W, 4) float32 RGBA."""
@@ -129,8 +130,8 @@ class RGBAFileCodec:
     # ------------------------------------------------- batched serving API
 
     def encode_batch(self, images: np.ndarray, alphas: np.ndarray,
-                     bbox: bool = False,
-                     rate_gate: bool = False) -> list[bytes]:
+                     bbox: bool = False, rate_gate: bool = False,
+                     deadzone: float = 0.0) -> list[bytes]:
         """Compress B same-shaped RGBA images in one batched device pass
         per stage (the per-slice autoregression cost is paid once for the
         whole batch). Returns one container blob per image.
@@ -148,7 +149,13 @@ class RGBAFileCodec:
         reconstructs the full transparent canvas.  Each distinct crop
         shape compiles its own codec executables (shapes quantize to the
         /64 grid), so keep it off for shape-stable serving fleets unless
-        inputs share a canvas layout (sprites, portraits)."""
+        inputs share a canvas layout (sprites, portraits).
+
+        rate_gate=True skips entropy-coding RGB latents in fully-
+        transparent regions (container header bit2; decoder re-derives
+        the gate).  deadzone>0 widens the RGB quantizer's zero bin —
+        runtime rate/quality control from ONE trained model, no header
+        flag needed (the stream stays decoder-compatible)."""
         import jax.numpy as jnp
         from ..ops.morphology import constraint_rgb
 
@@ -214,7 +221,8 @@ class RGBAFileCodec:
             masked = self._jit("mask_apply", lambda x, m: jnp.where(
                 m > 0, x, m))(x_dev, recon_mask)
         rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask,
-                                               rate_gate=rate_gate)
+                                               rate_gate=rate_gate,
+                                               deadzone=deadzone)
         return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i), crop,
                           rate_gated=rate_gate)
                 for i in range(b)]

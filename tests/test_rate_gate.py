@@ -156,6 +156,43 @@ def test_container_rate_gate_flag_and_bytes():
     assert b_u["rgb"]["strings"][1] == b_g["rgb"]["strings"][1]
 
 
+def test_codec_deadzone_rate_control():
+    """deadzone>0 must monotonically shed bytes while decoding to a recon
+    that degrades GRACEFULLY from the dz=0 recon — an AR desync (encoder
+    stats diverging from decoder stats) would blow the small-dz recon up,
+    not perturb it."""
+    from rgba_tpu.native import rans
+    import pytest
+    if not rans.available():
+        pytest.skip("native rans not built")
+
+    d = synthetic_rgba_batch(1, 64, 64, seed=5)
+    x = jnp.asarray(d["masked_image"] * 40.0)
+    mask = jnp.asarray(d["alpha"])
+    me = mask_pyramid(mask)
+    io = _rgb_io(x, mask, me)
+
+    comps, recons, sizes = {}, {}, {}
+    for dz in (0.0, 0.05, 0.6):
+        c = io.compress_batch(image=np.asarray(x), mask=np.asarray(mask),
+                              deadzone=dz)
+        comps[dz] = c
+        sizes[dz] = len(c[0]["strings"][0])
+        recons[dz] = io.decompress_batch(c, mask=np.asarray(mask))
+        assert np.isfinite(recons[dz]).all()
+    assert sizes[0.6] < sizes[0.05] <= sizes[0.0]
+
+    d_small = float(np.abs(recons[0.05] - recons[0.0]).mean())
+    d_large = float(np.abs(recons[0.6] - recons[0.0]).mean())
+    assert d_small < d_large
+    assert d_small < 0.05   # tiny deadzone ~= plain quantizer
+
+    # deterministic: same dz, same bytes
+    again = io.compress_batch(image=np.asarray(x), mask=np.asarray(mask),
+                              deadzone=0.6)
+    assert again[0]["strings"][0] == comps[0.6][0]["strings"][0]
+
+
 def test_training_ignores_rate_gate():
     params, x, mask, me = _setup(opaque=False)
     kw = dict(training=True, rngs={"noise": jax.random.PRNGKey(7)})
