@@ -27,6 +27,7 @@ Two serving-oriented upgrades over the reference's per-image serial loop
 from __future__ import annotations
 
 import functools
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence
 
@@ -65,6 +66,8 @@ class CodecIO:
         self.gc.update()
         self.eb_tables = self._build_eb_tables()
         self._pool = ThreadPoolExecutor(max_workers=_MAX_CODING_THREADS)
+        self._dz_fns: dict = {}
+        self._variant_lock = threading.Lock()
 
     # ------------------------------------------------------------ tables
 
@@ -155,21 +158,13 @@ class CodecIO:
     def _compress_variant(self, gated: bool, deadzoned: bool):
         if not deadzoned:
             return self._compress_fn_gated if gated else self._compress_fn
-        if not hasattr(self, "_dz_fns"):
-            self._dz_fns = {}
-        if gated not in self._dz_fns:
-            self._dz_fns[gated] = self._build_compress_fn(gated, True)
-        return self._dz_fns[gated]
-
-    @functools.cached_property
-    def _gate_fn(self):
-        """(B, H, W, 1) recon alpha -> (B, H/8, W/8, 1) bool alive-gate.
-
-        avg-pool chains of non-negative inputs are exactly zero iff every
-        contributing pixel is zero, so (pool > 0) is reduction-order
-        independent — the compress and decompress processes provably
-        derive the same gate from the same decoded alpha."""
-        return jax.jit(lambda mask: mask_pyramid(mask)[2] > 0)
+        # locked: PipelinedCodec submits batches from two threads, and an
+        # unsynchronized check-then-build would trigger the multi-minute
+        # remote compile twice for the same program
+        with self._variant_lock:
+            if gated not in self._dz_fns:
+                self._dz_fns[gated] = self._build_compress_fn(gated, True)
+            return self._dz_fns[gated]
 
     @functools.cached_property
     def _hyper_decode_fn(self):
@@ -279,9 +274,13 @@ class CodecIO:
             args = (jnp.asarray(image), mask_dev, me[1], me[2])
             batch = image.shape[0]
             if rg:
-                gate_dev = self._gate_fn(mask_dev)
-                gate_host = np.asarray(jax.device_get(gate_dev))
-                args = (gate_dev,) + args
+                # the /8 pyramid level is already computed for me3; the
+                # encoder's gate is the single source of truth — it ships
+                # in the container (the decoder must NOT re-derive it:
+                # a differently-compiled mask decoder could flip an
+                # 8-bit-boundary alpha pixel and desync the stream)
+                gate_host = np.asarray(jax.device_get(me[2])) > 0
+                args = (jnp.asarray(gate_host),) + args
             y_syms, y_idxs, z_sym, z_shape = jax.device_get(
                 self._compress_variant(rg, dzd)(self.params, *pre, *args))
         else:
@@ -314,7 +313,10 @@ class CodecIO:
             y_string = rans.encode_with_indexes(
                 syms_b, idxs_b,
                 self.gc.quantized_cdfs, self.gc.cdf_lengths, self.gc.offsets)
-            return {"strings": [y_string, z_string], "shape": shape}
+            out = {"strings": [y_string, z_string], "shape": shape}
+            if gate_host is not None:
+                out["gate"] = gate_host[b]       # (lh, lw, 1) bool
+            return out
 
         if batch == 1:
             return [code_one(0)]
@@ -331,19 +333,28 @@ class CodecIO:
         device=True returns the reconstruction as a device array (no host
         fetch) so callers can keep post-processing on-chip — the container
         uses this to chain mask-decode -> constraint -> RGB gating without
-        host round trips."""
+        host round trips.
+
+        For rate-gated streams the gate the ENCODER used must be supplied:
+        either per-stream (compressed[b]["gate"], how the container ships
+        it) or it is re-derived from `mask` — the fallback is only safe
+        when this process also produced the streams (re-deriving from an
+        alpha decoded by a differently-compiled executable could flip an
+        8-bit-boundary pixel and desync the rANS stream)."""
         rg = self.rate_gate if rate_gate is None else (
             bool(rate_gate) and self.kind == "rgb")
         batch = len(compressed)
         zh, zw = compressed[0]["shape"]
         assert all(c["shape"] == (zh, zw) for c in compressed), \
             "decompress_batch requires same-shaped streams"
+        md = mask_pyramid(jnp.asarray(mask)) if self.kind == "rgb" else None
         gate_host = None
         if rg:
-            # the SAME gate the encoder used: both sides hold the same
-            # decoded alpha, and the /8-pool > 0 test is order-independent
-            gate_host = np.asarray(
-                jax.device_get(self._gate_fn(jnp.asarray(mask))))
+            if all("gate" in c for c in compressed):
+                gate_host = np.stack([np.asarray(c["gate"]) for c in
+                                      compressed])
+            else:
+                gate_host = np.asarray(jax.device_get(md[2])) > 0
         t = self.eb_tables
         c = t["quantized_cdfs"].shape[0]
         z_indexes = np.broadcast_to(np.arange(c, dtype=np.int32),
@@ -400,7 +411,6 @@ class CodecIO:
         y_hat = jnp.concatenate(y_hats, axis=-1)
 
         if self.kind == "rgb":
-            md = mask_pyramid(jnp.asarray(mask))
             x_hat = self._decode_image_fn(self.params, y_hat, md[1], md[2])
         else:
             x_hat = self._decode_image_fn(self.params, y_hat)

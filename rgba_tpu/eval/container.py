@@ -8,13 +8,19 @@ end-to-end.
 
 Layout (little-endian):
   magic  b"RGBA"            4 bytes
-  version u8                = 1
+  version u8                1, or 2 when the RGB stream is rate-gated
+                            (pre-gating decoders reject v2 cleanly
+                            instead of silently mis-decoding a stream
+                            whose symbol layout they don't understand)
   flags   u8                bit0: mask stream present (0 => opaque alpha)
                             bit1: crop placement present (alpha-bbox mode)
-                            bit2: RGB stream is alpha-rate-gated (latent
-                            cells with zero /8 recon-alpha pool are not
-                            coded; decoder re-derives the gate from the
-                            decoded mask stream)
+                            bit2: RGB stream is alpha-rate-gated — latent
+                            cells with zero /8 recon-alpha pool carry no
+                            symbols; the encoder's exact gate bitmap
+                            ships as a 5th section (the decoder must NOT
+                            re-derive it: a differently-compiled mask
+                            decoder could flip an 8-bit-boundary alpha
+                            pixel and desync the rANS stream)
   height  u32, width u32    coded image size (pre-/64-padding)
   zh, zw  u16 x2            RGB z-latent spatial shape
   mzh,mzw u16 x2            mask z-latent spatial shape (0 if no mask)
@@ -26,11 +32,15 @@ Layout (little-endian):
                             never coded at all)
   then 4 length-prefixed (u32) sections:
   rgb_y, rgb_z, mask_y, mask_z (empty when absent)
+  [gate]  5th section, only when flags bit2: zlib(packbits(gate)) over
+          the (8*zh, 8*zw) alive bitmap, row-major (~100-200 bytes at
+          Kodak size — mostly-uniform regions RLE well)
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -38,19 +48,27 @@ _MAGIC = b"RGBA"
 
 
 def pack_rgba(height: int, width: int, rgb: dict, mask: dict | None,
-              crop: tuple | None = None, rate_gated: bool = False) -> bytes:
+              crop: tuple | None = None) -> bytes:
     """crop, when given, is (canvas_h, canvas_w, y0, x0): the coded
-    height x width region is a window into a larger transparent canvas."""
+    height x width region is a window into a larger transparent canvas.
+    When rgb carries a "gate" bitmap (rate-gated stream, CodecIO
+    compress_batch(rate_gate=True)), the container is version 2 and the
+    gate ships as a 5th section."""
+    gate = rgb.get("gate")
     flags = ((1 if mask is not None else 0) | (2 if crop is not None else 0)
-             | (4 if rate_gated else 0))
+             | (4 if gate is not None else 0))
+    version = 2 if gate is not None else 1
     zh, zw = rgb["shape"]
     mzh, mzw = mask["shape"] if mask else (0, 0)
-    head = struct.pack("<4sBBIIHHHH", _MAGIC, 1, flags, height, width,
+    head = struct.pack("<4sBBIIHHHH", _MAGIC, version, flags, height, width,
                        zh, zw, mzh, mzw)
     if crop is not None:
         head += struct.pack("<IIII", *crop)
     sections = [rgb["strings"][0], rgb["strings"][1]]
     sections += [mask["strings"][0], mask["strings"][1]] if mask else [b"", b""]
+    if gate is not None:
+        bits = np.asarray(gate, bool).reshape(zh * 8, zw * 8)
+        sections.append(zlib.compress(np.packbits(bits).tobytes()))
     body = b"".join(struct.pack("<I", len(s)) + s for s in sections)
     return head + body
 
@@ -64,8 +82,11 @@ def unpack_rgba(blob: bytes) -> dict:
         raise ValueError("not an rgba_tpu container (truncated header)")
     magic, ver, flags, h, w, zh, zw, mzh, mzw = struct.unpack(
         "<4sBBIIHHHH", blob[:head_len])
-    if magic != _MAGIC or ver != 1:
+    if magic != _MAGIC or ver not in (1, 2):
         raise ValueError("not an rgba_tpu container")
+    rate_gated = bool(flags & 4)
+    if rate_gated != (ver == 2):
+        raise ValueError("corrupt rgba_tpu container (gate flag/version)")
     off = head_len
     crop = None
     if flags & 2:
@@ -74,7 +95,7 @@ def unpack_rgba(blob: bytes) -> dict:
         crop = struct.unpack("<IIII", blob[off:off + 16])
         off += 16
     sections = []
-    for _ in range(4):
+    for _ in range(5 if rate_gated else 4):
         if off + 4 > len(blob):
             raise ValueError("truncated rgba_tpu container (section header)")
         (ln,) = struct.unpack("<I", blob[off:off + 4])
@@ -85,10 +106,17 @@ def unpack_rgba(blob: bytes) -> dict:
         off += ln
     out = {
         "height": h, "width": w, "consumed": off, "crop": crop,
-        "rate_gated": bool(flags & 4),
+        "rate_gated": rate_gated,
         "rgb": {"strings": [sections[0], sections[1]], "shape": (zh, zw)},
         "mask": None,
     }
+    if rate_gated:
+        lh, lw = zh * 8, zw * 8
+        bits = np.unpackbits(
+            np.frombuffer(zlib.decompress(sections[4]), np.uint8))
+        if bits.size < lh * lw:
+            raise ValueError("corrupt rgba_tpu container (gate bitmap)")
+        out["rgb"]["gate"] = bits[:lh * lw].reshape(lh, lw, 1).astype(bool)
     if flags & 1:
         out["mask"] = {"strings": [sections[2], sections[3]],
                        "shape": (mzh, mzw)}
@@ -223,8 +251,7 @@ class RGBAFileCodec:
         rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask,
                                                rate_gate=rate_gate,
                                                deadzone=deadzone)
-        return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i), crop,
-                          rate_gated=rate_gate)
+        return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i), crop)
                 for i in range(b)]
 
     def decode_batch(self, blobs: list[bytes],

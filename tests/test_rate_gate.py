@@ -87,7 +87,7 @@ def test_codec_rate_gate_stream_consistency():
     me = mask_pyramid(mask)
     io = _rgb_io(x, mask, me)
 
-    share = float(np.mean(~np.asarray(io._gate_fn(mask))))
+    share = float(np.mean(np.asarray(mask_pyramid(mask)[2]) == 0.0))
     assert share > 0.05, "fixture needs gated cells"
 
     comp_g = io.compress_batch(image=np.asarray(x), mask=np.asarray(mask),
@@ -97,7 +97,7 @@ def test_codec_rate_gate_stream_consistency():
     assert len(comp_g[0]["strings"][0]) < len(comp_u[0]["strings"][0])
 
     # oracle stream: same gated symbols, but every position coded
-    gate_dev = io._gate_fn(mask)
+    gate_dev = jnp.asarray(np.asarray(jax.device_get(me[2])) > 0)
     syms, idxs, z_sym, z_shape = jax.device_get(io._compress_fn_gated(
         io.params, gate_dev, x, mask, me[1], me[2]))
     y_full = rans.encode_with_indexes(
@@ -137,11 +137,18 @@ def test_container_rate_gate_flag_and_bytes():
     blob_u = codec.encode(x, alpha)
     blob_g = codec.encode(x, alpha, rate_gate=True)
     assert not unpack_rgba(blob_u)["rate_gated"]
-    assert unpack_rgba(blob_g)["rate_gated"]
+    meta_g = unpack_rgba(blob_g)
+    assert meta_g["rate_gated"]
+    # the encoder's exact gate bitmap ships in the container (v2, 5th
+    # section) — the decoder never re-derives it
+    zh, zw = meta_g["rgb"]["shape"]
+    assert meta_g["rgb"]["gate"].shape == (zh * 8, zw * 8, 1)
+    assert meta_g["rgb"]["gate"].dtype == bool
     # the gate sees the RECON alpha; a random-init mask codec reconstructs
-    # nowhere-zero alpha, so no cells gate here — strict byte saving is
-    # pinned at the CodecIO level (test_codec_rate_gate_stream_consistency)
-    assert len(blob_g) <= len(blob_u)
+    # nowhere-zero alpha, so no cells gate here and the gated blob pays
+    # only the small shipped-gate section — strict byte saving is pinned
+    # at the CodecIO level (test_codec_rate_gate_stream_consistency)
+    assert len(blob_g) <= len(blob_u) + 64
 
     rgba = codec.decode(blob_g)
     assert rgba.shape == (1, 64, 64, 4)

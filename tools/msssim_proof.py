@@ -23,6 +23,8 @@ import time
 import jax
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from rgba_tpu.core.config import TrainConfig
 from rgba_tpu.data.loader import BatchLoader
 from rgba_tpu.models.mask_codec import MaskCodec
