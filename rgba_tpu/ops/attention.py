@@ -238,18 +238,9 @@ class _ConvP(nn.Module):
 
 def _conv_apply(x, p, policy, pad):
     """Same math as the Conv module (stride 1)."""
-    dt = policy.compute_dtype
-    if policy.int8_conv:
-        from .quant import int8_conv
-        y = int8_conv(x.astype(dt), p["kernel"], window_strides=(1, 1),
-                      padding=((pad, pad), (pad, pad)))
-    else:
-        y = jax.lax.conv_general_dilated(
-            x.astype(dt), p["kernel"].astype(dt), (1, 1),
-            ((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=policy.precision)
-    return y + p["bias"].astype(dt)
+    from .quant import policy_conv
+    y = policy_conv(x, p["kernel"], policy, padding=((pad, pad), (pad, pad)))
+    return y + p["bias"].astype(policy.compute_dtype)
 
 
 def gate_chain_xla(x, g, params, *, act, post_act, trunk_names, gate_names,

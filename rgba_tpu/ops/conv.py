@@ -51,24 +51,17 @@ class Conv(nn.Module):
             self.policy.param_dtype,
         )
         dtype = self.policy.compute_dtype
+        # note: the alternative lowering flag wins over policy.int8_conv
+        # (the s2d path stays float) — no call site sets both today
         if (self.use_space_to_depth and (k, self.stride, pad) == (5, 2, 2)
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
             y = _strided_conv5x5_s2_s2d(x.astype(dtype), w.astype(dtype),
                                         self.policy.precision)
-        elif self.policy.int8_conv:
-            from .quant import int8_conv
-            y = int8_conv(x.astype(dtype), w,
-                          window_strides=_pair(self.stride),
-                          padding=((pad, pad), (pad, pad)))
         else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype),
-                w.astype(dtype),
-                window_strides=_pair(self.stride),
-                padding=((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=self.policy.precision,
-            )
+            from .quant import policy_conv
+            y = policy_conv(x, w, self.policy,
+                            window_strides=_pair(self.stride),
+                            padding=((pad, pad), (pad, pad)))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (self.features,), self.policy.param_dtype)
@@ -146,21 +139,20 @@ class ConvTranspose(nn.Module):
             self.policy.param_dtype,
         )
         dtype = self.policy.compute_dtype
+        lo = k - 1 - p
+        hi = k - 1 - p + op
+        # alternative-lowering flag wins over policy.int8_conv, as in Conv
         if self.use_subpixel and (k, self.stride, p, op) == (5, 2, 2, 1):
             y = _subpixel_deconv5x5_s2(x.astype(dtype), w.astype(dtype),
                                        self.policy.precision)
         elif self.policy.int8_conv:
             from .quant import int8_conv
-            lo = k - 1 - p
-            hi = k - 1 - p + op
             y = int8_conv(x.astype(dtype), w,
                           window_strides=(1, 1),
                           padding=((lo, hi), (lo, hi)),
                           lhs_dilation=_pair(self.stride),
                           flip_kernel=True)
         else:
-            lo = k - 1 - p
-            hi = k - 1 - p + op
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype),
                 jnp.flip(w, axis=(0, 1)).astype(dtype),

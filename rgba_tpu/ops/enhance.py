@@ -51,18 +51,9 @@ class _EnhParams(nn.Module):
 
 
 def _conv(x, p, policy, pad):
-    dt = policy.compute_dtype
-    if policy.int8_conv:
-        from .quant import int8_conv
-        y = int8_conv(x.astype(dt), p["kernel"], window_strides=(1, 1),
-                      padding=((pad, pad), (pad, pad)))
-    else:
-        y = jax.lax.conv_general_dilated(
-            x.astype(dt), p["kernel"].astype(dt), (1, 1),
-            ((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=policy.precision)
-    return y + p["bias"].astype(dt)
+    from .quant import policy_conv
+    y = policy_conv(x, p["kernel"], policy, padding=((pad, pad), (pad, pad)))
+    return y + p["bias"].astype(policy.compute_dtype)
 
 
 class EnhancementBlock(nn.Module):
@@ -122,19 +113,13 @@ def dse_packed_xla(x, params, policy, leaky, groups: int = PACK_GROUPS):
         return t.reshape(bg * g, hh, ww, cc)
 
     def conv(t, p, pad):
-        if policy.int8_conv:
-            # quantize the ORIGINAL kernel (per-channel scales tile with
-            # the block-diagonal structure; the kron zeros stay exact)
-            from .quant import int8_conv
-            wb = _blockdiag(p["kernel"], g)
-            y = int8_conv(t, wb, window_strides=(1, 1),
-                          padding=((pad, pad), (pad, pad)))
-        else:
-            wb = _blockdiag(p["kernel"].astype(dt), g)
-            y = jax.lax.conv_general_dilated(
-                t, wb, (1, 1), ((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=policy.precision)
+        # int8 note: the block-diag kernel is quantized AFTER kron — its
+        # per-output-channel scales equal the original kernel's (each
+        # column holds one original column plus exact zeros), so this is
+        # bit-identical to quantize-then-blockdiag (tests/test_quant.py)
+        from .quant import policy_conv
+        wb = _blockdiag(p["kernel"], g)
+        y = policy_conv(t, wb, policy, padding=((pad, pad), (pad, pad)))
         return y + jnp.tile(p["bias"].astype(dt), (g,))
 
     xp = pack(x.astype(dt))

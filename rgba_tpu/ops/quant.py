@@ -12,10 +12,12 @@ dynamic-quantization recipe:
   * integer conv accumulating in int32 (``preferred_element_type``),
   * dequantize with the combined scale, add bias in the compute dtype.
 
-Serving-only: ``jnp.round`` has a zero gradient, so the path is gated by
-``Policy.int8_conv`` which no training policy sets.  Encoder and decoder
-of the entropy codec run the SAME quantized graph, so the bitstream stays
-self-consistent.
+Serving-only, forward/metric paths only: ``jnp.round`` has a zero
+gradient (no training policy sets the flag), and the per-TENSOR dynamic
+activation scales couple every image's numerics to its batchmates — so
+like every non-fp32 policy, int8 must NOT drive the real-bitstream codec
+(CodecIO pins the fp32 policy; encode/decode stat recomputation requires
+bit-exact agreement that batch-coupled scales cannot provide).
 
 Measured verdict (PERFORMANCE.md "int8 MXU probe"): 0.76x end-to-end vs
 bf16 serve on v5e at PSNR parity — the dynamic per-conv quantize/dequant
@@ -77,3 +79,18 @@ def int8_conv(x, w, *, window_strides, padding, lhs_dilation=None,
     )
     y = acc.astype(jnp.float32) * (sx * sw)   # sw broadcasts over cout
     return y.astype(out_dtype)
+
+
+def policy_conv(x, w, policy, *, window_strides=(1, 1), padding):
+    """Shared float/int8 conv dispatch for the stride-1/stride-N NHWC
+    call sites (ops/attention.py, ops/enhance.py, ops/conv.py): ONE place
+    holds the `Policy.int8_conv` branch so the quantization recipe can't
+    silently diverge between modules.  No bias."""
+    if policy.int8_conv:
+        return int8_conv(x.astype(policy.compute_dtype), w,
+                         window_strides=window_strides, padding=padding)
+    dt = policy.compute_dtype
+    return jax.lax.conv_general_dilated(
+        x.astype(dt), w.astype(dt), window_strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=policy.precision)

@@ -40,12 +40,15 @@ def load_trained_params(lam):
                                  training=False)["params"]
     rgb_tmpl = RGBCodec().init({"params": key, "noise": key}, x0, m0, m0,
                                mask_pyramid(m0), training=False)["params"]
-    mask_params = load_checkpoint(
-        jax.device_get(mask_tmpl),
-        latest_checkpoint("/tmp/rd_sweep/mask_1024_ck"))
-    rgb_params = load_checkpoint(
-        jax.device_get(rgb_tmpl),
-        latest_checkpoint(f"/tmp/rd_sweep/rgb_{lam}_ck"))
+    mask_ck = latest_checkpoint("/tmp/rd_sweep/mask_1024_ck")
+    rgb_ck = latest_checkpoint(f"/tmp/rd_sweep/rgb_{lam}_ck")
+    if mask_ck is None or rgb_ck is None:
+        raise SystemExit(
+            "RD-sweep checkpoints not found under /tmp/rd_sweep — run "
+            "`python -u tools/rd_sweep_proof.py` first (they do not "
+            "survive /tmp wipes)")
+    mask_params = load_checkpoint(jax.device_get(mask_tmpl), mask_ck)
+    rgb_params = load_checkpoint(jax.device_get(rgb_tmpl), rgb_ck)
     return {"mask_codec": mask_params, "rgb_codec": rgb_params}
 
 
