@@ -101,12 +101,12 @@ def _strip_legacy_trailer(blob, meta):
     return blob, None
 
 
-def _decode_one(codec, src, dst):
+def _decode_one(codec, src, dst, max_slices=None):
     from ..eval.container import unpack_rgba
     with open(src, "rb") as f:
         blob = f.read()
     blob, legacy_hw = _strip_legacy_trailer(blob, unpack_rgba(blob))
-    rgba = codec.decode(blob)[0]
+    rgba = codec.decode(blob, max_slices=max_slices)[0]
     if legacy_hw is not None:
         rgba = rgba[:legacy_hw[0], :legacy_hw[1]]
     _write_rgba(dst, rgba)
@@ -217,6 +217,11 @@ def main(argv=None):
                         "(runtime rate control from one model: more "
                         "deadzone = fewer bits, lower PSNR; streams stay "
                         "decoder-compatible). Try 0.1-0.4")
+    p.add_argument("--preview-slices", type=int, default=None,
+                   help="decode only the first K of the 10 RGB latent "
+                        "slices and mean-fill the rest — a fast "
+                        "progressive preview from the SAME blob "
+                        "(decode command only)")
     args = p.parse_args(argv)
 
     codec = _load_codecs(args.rgb_model, args.mask_model)
@@ -225,7 +230,8 @@ def main(argv=None):
         _encode_one(codec, args.input, args.output, bbox=args.bbox,
                     rate_gate=args.rate_gate, deadzone=args.deadzone)
     elif args.command == "decode":
-        _decode_one(codec, args.input, args.output)
+        _decode_one(codec, args.input, args.output,
+                    max_slices=args.preview_slices)
     elif args.command == "encode-dir":
         _encode_dir(codec, args.input, args.output, args.batch,
                     bbox=args.bbox, rate_gate=args.rate_gate,

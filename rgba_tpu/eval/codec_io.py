@@ -67,6 +67,7 @@ class CodecIO:
         self.eb_tables = self._build_eb_tables()
         self._pool = ThreadPoolExecutor(max_workers=_MAX_CODING_THREADS)
         self._dz_fns: dict = {}
+        self._tail_fns: dict = {}
         self._variant_lock = threading.Lock()
 
     # ------------------------------------------------------------ tables
@@ -231,6 +232,59 @@ class CodecIO:
 
         return jax.jit(run)
 
+    def _tail_fill_fn(self, k: int):
+        """Mean-fill completion for a progressive decode stopped after k
+        decoded slices: finish slice k-1 from its decoded symbols, then run
+        slices k..num_slices-1 with symbol 0 (y_hat = mu + lrp, exactly the
+        reconstruction a rate-gated cell gets) — ONE fused device dispatch
+        for the whole tail, no further host<->device round trips.
+
+        The channel-AR chain is causal (slice i's stats depend only on
+        slices < i, AutoEncoderRGB_Journal.py:237-264), so the first k
+        slices of a progressive decode are bit-identical to a full decode;
+        only the mean-filled tail differs."""
+        with self._variant_lock:
+            fn = self._tail_fns.get(k)
+        if fn is not None:
+            return fn
+        model = self.model
+        n = self.num_slices
+
+        if k == 0:
+            def run(params, lm, ls):
+                def inner(m):
+                    h, w = lm.shape[1], lm.shape[2]
+                    ys: List = []
+                    for i in range(n):
+                        sup = ys[:m.prior.max_support_slices]
+                        mu, _ = m.prior.slice_stats(lm, ls, sup, i, (h, w))
+                        y = mu + m.prior.slice_lrp(lm, sup, mu, i)
+                        ys.append(y)
+                    return jnp.concatenate(ys, axis=-1)
+                return model.apply({"params": params}, method=inner)
+        else:
+            def run(params, lm, ls, sym_prev, mu_prev, *support):
+                def inner(m):
+                    h, w = lm.shape[1], lm.shape[2]
+                    ys = list(support)
+                    y_prev = sym_prev.astype(jnp.float32) + mu_prev
+                    y_prev = y_prev + m.prior.slice_lrp(
+                        lm, ys[:m.prior.max_support_slices], y_prev, k - 1)
+                    ys.append(y_prev)
+                    tail = [y_prev]
+                    for i in range(k, n):
+                        sup = ys[:m.prior.max_support_slices]
+                        mu, _ = m.prior.slice_stats(lm, ls, sup, i, (h, w))
+                        y = mu + m.prior.slice_lrp(lm, sup, mu, i)
+                        ys.append(y)
+                        tail.append(y)
+                    return jnp.concatenate(tail, axis=-1)
+                return model.apply({"params": params}, method=inner)
+
+        fn = jax.jit(run)
+        with self._variant_lock:
+            return self._tail_fns.setdefault(k, fn)
+
     @functools.cached_property
     def _decode_image_fn(self):
         model = self.model
@@ -325,7 +379,9 @@ class CodecIO:
     def decompress_batch(self, compressed: Sequence[dict],
                          mask: Optional[np.ndarray] = None,
                          device: bool = False,
-                         rate_gate: Optional[bool] = None) -> np.ndarray:
+                         rate_gate: Optional[bool] = None,
+                         max_slices: Optional[int] = None,
+                         return_latent: bool = False) -> np.ndarray:
         """Batched decompress of same-shaped streams. The slice loop runs
         once for the whole batch: one fused device dispatch + one index
         fetch per slice, with the B rANS streams decoded on host threads.
@@ -335,6 +391,19 @@ class CodecIO:
         uses this to chain mask-decode -> constraint -> RGB gating without
         host round trips.
 
+        max_slices=k (progressive preview, 0 <= k <= num_slices) decodes
+        only the first k latent slices from the stream and completes the
+        rest with the prior's means (symbol 0) in one fused dispatch — a
+        preview costs k+2 device dispatches instead of num_slices+1 and
+        skips the tail's rANS work entirely.  The channel-AR chain is
+        causal, so the k decoded slices are bit-identical to a full
+        decode; quality degrades gracefully as k shrinks (the slice
+        ordering makes early slices the most informative — the same
+        structure the reference's max_support_slices=5 exploits).  The
+        stream itself is untouched: ONE encoded blob serves every preview
+        level.  return_latent=True additionally returns y_hat (used by
+        tests to pin the causality guarantee).
+
         For rate-gated streams the gate the ENCODER used must be supplied:
         either per-stream (compressed[b]["gate"], how the container ships
         it) or it is re-derived from `mask` — the fallback is only safe
@@ -343,6 +412,8 @@ class CodecIO:
         8-bit-boundary pixel and desync the rANS stream)."""
         rg = self.rate_gate if rate_gate is None else (
             bool(rate_gate) and self.kind == "rgb")
+        k = self.num_slices if max_slices is None else max(
+            0, min(int(max_slices), self.num_slices))
         batch = len(compressed)
         zh, zw = compressed[0]["shape"]
         assert all(c["shape"] == (zh, zw) for c in compressed), \
@@ -385,38 +456,48 @@ class CodecIO:
 
         alives: List = [None] * batch
         y_hats: List = []
-        mu, index = self._first_stats_fn(self.params, lm, ls)
-        for i in range(self.num_slices):
-            # uint8 down, int16 up — the tunnel pays per byte
-            idx_np = jax.device_get(index).astype(np.int32)
-            if gate_host is not None and alives[0] is None:
-                sw = idx_np.shape[-1]
-                lh, lw = idx_np.shape[1], idx_np.shape[2]
-                alives = [np.broadcast_to(gate_host[b], (1, lh, lw, sw))
-                          .ravel() for b in range(batch)]
-            syms = list(self._pool.map(
-                decode_slice,
-                [(decoders[b], idx_np[b:b + 1], alives[b])
-                 for b in range(batch)]))
-            sym_dev = jnp.asarray(np.concatenate(syms).astype(np.int16))
-            if i < self.num_slices - 1:
-                y_prev, mu, index = self._step_fns[i + 1](
-                    self.params, lm, ls, sym_dev, mu, *y_hats)
-                y_hats.append(y_prev)
-            else:
-                y_hats.append(self._last_finish_fn(
-                    self.params, lm, sym_dev, mu, *y_hats))
+        if k == 0:
+            y_hat = self._tail_fill_fn(0)(self.params, lm, ls)
+        else:
+            mu, index = self._first_stats_fn(self.params, lm, ls)
+            for i in range(k):
+                # uint8 down, int16 up — the tunnel pays per byte
+                idx_np = jax.device_get(index).astype(np.int32)
+                if gate_host is not None and alives[0] is None:
+                    sw = idx_np.shape[-1]
+                    lh, lw = idx_np.shape[1], idx_np.shape[2]
+                    alives = [np.broadcast_to(gate_host[b], (1, lh, lw, sw))
+                              .ravel() for b in range(batch)]
+                syms = list(self._pool.map(
+                    decode_slice,
+                    [(decoders[b], idx_np[b:b + 1], alives[b])
+                     for b in range(batch)]))
+                sym_dev = jnp.asarray(np.concatenate(syms).astype(np.int16))
+                if i + 1 < k:
+                    y_prev, mu, index = self._step_fns[i + 1](
+                        self.params, lm, ls, sym_dev, mu, *y_hats)
+                    y_hats.append(y_prev)
+                elif k < self.num_slices:
+                    y_hats.append(self._tail_fill_fn(k)(
+                        self.params, lm, ls, sym_dev, mu, *y_hats))
+                else:
+                    y_hats.append(self._last_finish_fn(
+                        self.params, lm, sym_dev, mu, *y_hats))
+            y_hat = jnp.concatenate(y_hats, axis=-1)
         for dec in decoders:
             dec.close()
-        y_hat = jnp.concatenate(y_hats, axis=-1)
 
         if self.kind == "rgb":
             x_hat = self._decode_image_fn(self.params, y_hat, md[1], md[2])
         else:
             x_hat = self._decode_image_fn(self.params, y_hat)
-        if device:
-            return x_hat
-        return np.asarray(jax.device_get(x_hat))
+        if not device:
+            x_hat = np.asarray(jax.device_get(x_hat))
+            if return_latent:
+                return x_hat, np.asarray(jax.device_get(y_hat))
+        elif return_latent:
+            return x_hat, y_hat
+        return x_hat
 
     def compress(self, image: Optional[np.ndarray] = None,
                  mask: Optional[np.ndarray] = None) -> dict:

@@ -151,9 +151,10 @@ class RGBAFileCodec:
         return self.encode_batch(image, alpha, bbox=bbox,
                                  rate_gate=rate_gate, deadzone=deadzone)[0]
 
-    def decode(self, blob: bytes) -> np.ndarray:
-        """Returns (1, H, W, 4) float32 RGBA."""
-        return self.decode_batch([blob])
+    def decode(self, blob: bytes, max_slices: int | None = None) -> np.ndarray:
+        """Returns (1, H, W, 4) float32 RGBA. max_slices=k decodes a
+        progressive preview (see decode_batch)."""
+        return self.decode_batch([blob], max_slices=max_slices)
 
     # ------------------------------------------------- batched serving API
 
@@ -255,13 +256,21 @@ class RGBAFileCodec:
                 for i in range(b)]
 
     def decode_batch(self, blobs: list[bytes],
-                     output: str = "float32") -> np.ndarray:
+                     output: str = "float32",
+                     max_slices: int | None = None) -> np.ndarray:
         """Decode B same-shaped container blobs; returns (B, H, W, 4).
 
         output="uint8" fetches the 8-bit quantized RGBA (the PNG-writing
         contract of the reference eval, trainRGB.py:300-311) — a quarter
         the bytes of the float fetch; "float32" keeps the exact clipped
-        reconstruction for metric parity."""
+        reconstruction for metric parity.
+
+        max_slices=k (progressive preview) decodes only the first k of
+        the RGB codec's 10 latent slices and mean-fills the rest — lower
+        latency from the SAME blob, graceful quality degradation (see
+        CodecIO.decompress_batch).  The alpha stream is always decoded
+        in full: it is tiny, and the RGB gating must see the exact
+        reconstructed mask the encoder used."""
         import jax.numpy as jnp
         from ..ops.morphology import constraint_rgb
 
@@ -303,7 +312,8 @@ class RGBAFileCodec:
                                    base_mask)()
         rgb = self.rgb_io.decompress_batch([m["rgb"] for m in metas],
                                            mask=recon_mask, device=True,
-                                           rate_gate=rate_gated)
+                                           rate_gate=rate_gated,
+                                           max_slices=max_slices)
 
         if output == "uint8":
             pack = self._jit(f"pack_u8{(h, w)}", lambda x, m: jnp.round(

@@ -65,6 +65,30 @@ def test_codec_cli_roundtrip(tmp_path):
     assert img.mode == "RGBA" and img.size == (72, 96)
 
 
+def test_codec_cli_preview_slices(tmp_path):
+    """--preview-slices k decodes a progressive preview from the SAME
+    blob: full-size RGBA out, alpha identical to the full decode (the
+    mask stream is always decoded in full)."""
+    from rgba_tpu.cli import codec
+    from rgba_tpu.native import rans
+    if not rans.available():
+        pytest.skip("native rans not built")
+    b = synthetic_rgba_batch(1, 64, 64, seed=7)
+    rgba = np.concatenate([b["image"][0], b["alpha"][0]], -1)
+    src = tmp_path / "in.png"
+    Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(src)
+    blob = tmp_path / "out.rgbc"
+    codec.main(["encode", str(src), str(blob)])
+    full = tmp_path / "full.png"
+    prev = tmp_path / "prev.png"
+    codec.main(["decode", str(blob), str(full)])
+    codec.main(["decode", str(blob), str(prev), "--preview-slices", "3"])
+    a = np.asarray(Image.open(full))
+    p = np.asarray(Image.open(prev))
+    assert p.shape == a.shape == (64, 64, 4)
+    np.testing.assert_array_equal(p[..., 3], a[..., 3])
+
+
 def test_codec_cli_legacy_trailer(tmp_path):
     """Blobs written by the pre-container-crop CLI carried an 8-byte h/w
     trailer after an edge-padded container.  The decoder must honor the
