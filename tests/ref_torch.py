@@ -6,11 +6,14 @@ which are installed.  The pieces it actually *uses* from them are tiny
 AutoEncoderRGB_Journal.py:4-17) — we stub them in sys.modules with faithful
 re-implementations so the real reference layer/model code runs unmodified.
 
-The entropy-model stubs (EntropyBottleneck / GaussianConditional) only
-reproduce CompressAI's *parameter shapes and names* (so state-dict export
-and our torch_import mapping are exercised on the real module tree); their
-forward is not needed by any parity test — entropy math is pinned separately
-by tests/test_entropy.py golden values.
+The entropy-model stubs (EntropyBottleneck / GaussianConditional)
+reproduce CompressAI's parameter shapes/names AND its *eval-path forward*
+(logits-cumulative chain + sign-trick likelihood; erfc bin mass with the
+0.11 scale bound), so the reference models' complete `AutoEncoder.forward`
+— transforms AND rate estimation (AutoEncoderRGB_Journal.py:203-296,
+AutoEncoderMask_Journal.py:248-316) — runs unmodified for end-to-end
+x_hat/bpp parity tests.  The training path (additive-noise quantization)
+is implemented too but cannot be parity-tested (RNG streams differ).
 """
 
 from __future__ import annotations
@@ -98,13 +101,30 @@ def _stub_compressai():
     clayers.ResidualBlockUpsample = _Unused
     clayers.ResidualBlockWithStride = _Unused
 
+    def _quantize(inputs, mode, means=None):
+        """CompressAI EntropyModel.quantize: additive noise in training,
+        round-around-means dequantize at eval."""
+        if mode == "noise":
+            return inputs + torch.empty_like(inputs).uniform_(-0.5, 0.5)
+        outputs = inputs.clone()
+        if means is not None:
+            outputs = outputs - means
+        outputs = torch.round(outputs)
+        if means is not None:
+            outputs = outputs + means
+        return outputs
+
     class EntropyBottleneck(nn.Module):
-        """Parameter tree of compressai's EntropyBottleneck: _matrix{k}
-        (C, f_{k+1}, f_k), _bias{k} (C, f_{k+1}, 1), _factor{k}, quantiles
-        (C, 1, 3) — matches rgba_tpu/entropy/bottleneck.py."""
+        """CompressAI's EntropyBottleneck: _matrix{k} (C, f_{k+1}, f_k),
+        _bias{k} (C, f_{k+1}, 1), _factor{k}, quantiles (C, 1, 3), plus the
+        faithful eval forward (logits-cumulative chain, sign-trick
+        likelihood, 1e-9 likelihood bound) — matches
+        rgba_tpu/entropy/bottleneck.py, which the full-forward parity tests
+        pin against it."""
 
         def __init__(self, channels, filters=(3, 3, 3, 3), init_scale=10.0):
             super().__init__()
+            self.filters = tuple(filters)
             f = (1,) + tuple(filters) + (1,)
             scale = init_scale ** (1 / (len(filters) + 1))
             for i in range(len(filters) + 1):
@@ -120,9 +140,74 @@ def _stub_compressai():
             self.quantiles = nn.Parameter(
                 q.repeat(channels, 1, 1))
 
+        def _get_medians(self):
+            return self.quantiles[:, :, 1:2]
+
+        def _logits_cumulative(self, inputs, stop_gradient):
+            logits = inputs
+            for i in range(len(self.filters) + 1):
+                m = getattr(self, f"_matrix{i}")
+                b = getattr(self, f"_bias{i}")
+                if stop_gradient:
+                    m, b = m.detach(), b.detach()
+                logits = torch.matmul(torch.nn.functional.softplus(m),
+                                      logits) + b
+                if i < len(self.filters):
+                    f = getattr(self, f"_factor{i}")
+                    if stop_gradient:
+                        f = f.detach()
+                    logits = logits + torch.tanh(f) * torch.tanh(logits)
+            return logits
+
+        def _likelihood(self, inputs):
+            lower = self._logits_cumulative(inputs - 0.5, stop_gradient=False)
+            upper = self._logits_cumulative(inputs + 0.5, stop_gradient=False)
+            sign = -torch.sign(lower + upper).detach()
+            return torch.abs(torch.sigmoid(sign * upper) -
+                             torch.sigmoid(sign * lower))
+
+        def forward(self, x):
+            # (B, C, ...) -> (C, 1, B*spatial), per compressai's perm dance
+            perm = list(range(x.dim()))
+            perm[0], perm[1] = perm[1], perm[0]
+            xt = x.permute(*perm).contiguous()
+            shape = xt.size()
+            values = xt.reshape(xt.size(0), 1, -1)
+            outputs = _quantize(values, "noise" if self.training
+                                else "dequantize", self._get_medians())
+            likelihood = self._likelihood(outputs).clamp_min(1e-9)
+            outputs = outputs.reshape(shape).permute(*perm).contiguous()
+            likelihood = likelihood.reshape(shape).permute(*perm).contiguous()
+            return outputs, likelihood
+
     class GaussianConditional(nn.Module):
-        def __init__(self, scale_table, *a, **k):
+        """CompressAI's GaussianConditional eval forward: erfc integer-bin
+        mass with scales lower-bounded at 0.11 (the reference constructs it
+        with scale_table=None, AutoEncoderRGB_Journal.py:201)."""
+
+        def __init__(self, scale_table, scale_bound=0.11, *a, **k):
             super().__init__()
+            assert scale_table is None  # as the reference constructs it
+            self.scale_bound = scale_bound
+
+        @staticmethod
+        def _standardized_cumulative(x):
+            return 0.5 * torch.erfc(-x * (2 ** -0.5))
+
+        def _likelihood(self, inputs, scales, means=None):
+            values = inputs if means is None else inputs - means
+            scales = scales.clamp_min(self.scale_bound)
+            values = torch.abs(values)
+            upper = self._standardized_cumulative((0.5 - values) / scales)
+            lower = self._standardized_cumulative((-0.5 - values) / scales)
+            return upper - lower
+
+        def forward(self, inputs, scales, means=None):
+            outputs = _quantize(inputs, "noise" if self.training
+                                else "dequantize", means)
+            likelihood = self._likelihood(outputs, scales,
+                                          means).clamp_min(1e-9)
+            return outputs, likelihood
 
     class _RansStub:
         def __init__(self, *a, **k):

@@ -199,6 +199,9 @@ def rgb_pair():
         tnet.Encoder.attention2.attn.attn.relative_position_bias_table.mul_(50)
         tnet.Decoder.attention1.attn.attn.relative_position_bias_table.mul_(50)
         tnet.Decoder.attention2.attn.attn.relative_position_bias_table.mul_(50)
+        # non-zero entropy-bottleneck medians so the z STE-rounding offset
+        # (AutoEncoderRGB_Journal.py:227-229) is exercised non-trivially
+        tnet.entropy_bottleneck.quantiles[:, 0, 1].uniform_(-0.8, 0.8)
     model = RGBCodec()
     h = w = 64
     x = np.random.RandomState(8).rand(1, h, w, 3).astype(np.float32)
@@ -277,6 +280,41 @@ def test_rgb_prior_heads_parity(rgb_pair):
                                    err_msg=f"lrp[{i}]")
 
 
+def test_full_rgb_forward_parity(rgb_pair):
+    """The COMPLETE reference AutoEncoder.forward — transforms, entropy
+    bottleneck, 10-slice channel-AR gaussian rate, masked MSE
+    (AutoEncoderRGB_Journal.py:203-296) — vs RGBCodec through imported
+    weights.  Pins x_hat AND the R-D surface (bpp_y, bpp_z, mse) in fp32,
+    closing the gap left by the transform-only tests above."""
+    tnet, model, params, x, alpha = rgb_pair
+    # decoded-alpha stand-in: perturb the GT inside the visible region so
+    # the in-forward 8-bit re-rounding and the md pyramid differ from me
+    rng = np.random.RandomState(40)
+    reconmask = np.clip(
+        alpha + 0.07 * rng.rand(*alpha.shape).astype(np.float32) * (alpha > 0),
+        0.0, 1.0).astype(np.float32)
+    me = mask_pyramid(jnp.asarray(alpha))
+    tme = [nchw(np.asarray(m)) for m in me]
+
+    with torch.no_grad():
+        t_xhat, t_mse, t_bpp, t_bpp_y, t_bpp_z = tnet(
+            nchw(x), nchw(alpha), nchw(reconmask), *tme[:4])
+
+    out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(alpha),
+                      jnp.asarray(reconmask), me, training=False)
+
+    np.testing.assert_allclose(np.asarray(out["x_hat"]), nhwc(t_xhat),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(float(out["mse_loss"]), float(t_mse),
+                               atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(float(out["bpp_y"]), float(t_bpp_y),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(out["bpp_z"]), float(t_bpp_z),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(out["bpp"]), float(t_bpp),
+                               atol=2e-5, rtol=1e-4)
+
+
 # ------------------------------------------------------- mask codec modules
 
 
@@ -284,6 +322,8 @@ def test_rgb_prior_heads_parity(rgb_pair):
 def mask_pair():
     mod = load_model("mask")
     tnet = mod.AutoEncoder().eval()
+    with torch.no_grad():
+        tnet.entropy_bottleneck.quantiles[:, 0, 1].uniform_(-0.8, 0.8)
     model = MaskCodec()
     alpha = _blocky_alpha(1, 64, 64, 16, seed=14)
     template = model.init({"params": jax.random.PRNGKey(0),
@@ -322,6 +362,26 @@ def test_mask_prior_slice_parity(mask_pair):
                               m.prior.cc_mean_transforms[_i](a))
         np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5, rtol=1e-4,
                                    err_msg=f"cc_mean[{i}]")
+
+
+def test_full_mask_forward_parity(mask_pair):
+    """Complete reference mask AutoEncoder.forward (transforms + 5-slice
+    channel-AR entropy + plain MSE, AutoEncoderMask_Journal.py:248-316) vs
+    MaskCodec with imported weights — x_hat, mse, bpp_y, bpp_z in fp32."""
+    tnet, model, params, alpha = mask_pair
+    with torch.no_grad():
+        t_xhat, t_mse, t_bpp, t_bpp_y, t_bpp_z = tnet(nchw(alpha))
+    out = model.apply({"params": params}, jnp.asarray(alpha), training=False)
+    np.testing.assert_allclose(np.asarray(out["x_hat"]), nhwc(t_xhat),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(float(out["mse_loss"]), float(t_mse),
+                               atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(float(out["bpp_y"]), float(t_bpp_y),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(out["bpp_z"]), float(t_bpp_z),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(out["bpp"]), float(t_bpp),
+                               atol=2e-5, rtol=1e-4)
 
 
 # ------------------------------------------------------------- mask pyramid
