@@ -224,6 +224,13 @@ def main(argv=None):
                         "(decode command only)")
     args = p.parse_args(argv)
 
+    if args.preview_slices is not None:
+        if args.command != "decode":
+            p.error("--preview-slices only applies to the `decode` command")
+        if not 0 <= args.preview_slices <= 10:
+            p.error("--preview-slices must be in [0, 10] "
+                    f"(got {args.preview_slices})")
+
     codec = _load_codecs(args.rgb_model, args.mask_model)
 
     if args.command == "encode":

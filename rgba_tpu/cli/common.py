@@ -26,6 +26,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="eval with the actual rANS bitstream (byte-true bpp)")
     p.add_argument("--train-coco", default="../P3Mdata/COCOdata")
     p.add_argument("--train-p3m", default="../P3Mdata/MASKpatches")
+    p.add_argument("--parity", action="store_true",
+                   help="strict reference-parity preset: fp32 compute "
+                        "(exact-erf GELU, no fused/packed kernels) and "
+                        "aux_lr=0 (quantiles untrained, like the reference)")
     return p
 
 

@@ -80,8 +80,8 @@ def evaluate_mask(model, params, rootpath, logger, step=0, tb=None,
 
 def main(argv=None):
     args = build_parser("TPU mask codec trainer").parse_args(argv)
-    cfg = load_config(args.config, seed=args.seed) if args.config else \
-        load_config(seed=args.seed)
+    cfg = load_config(args.config if args.config else None,
+                      parity=args.parity, seed=args.seed)
     # mask driver defaults (trainmask.py:30-41)
     if args.config is None:
         cfg.tot_step = 600_000

@@ -33,8 +33,8 @@ def _init_mask_params(mask_model):
 
 def main(argv=None):
     args = build_parser("TPU RGB codec trainer").parse_args(argv)
-    cfg = load_config(args.config, seed=args.seed) if args.config else \
-        load_config(seed=args.seed)
+    cfg = load_config(args.config if args.config else None,
+                      parity=args.parity, seed=args.seed)
 
     save_path = os.path.join("checkpoints", args.name) if args.name else ""
     logger = setup_logging(save_path)

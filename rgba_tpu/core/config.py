@@ -63,8 +63,17 @@ class TrainConfig:
         return self.base_lr
 
 
-def load_config(path: Optional[str] = None, **overrides) -> TrainConfig:
-    """Load a reference-format JSON config into a TrainConfig."""
+def load_config(path: Optional[str] = None, parity: bool = False,
+                **overrides) -> TrainConfig:
+    """Load a reference-format JSON config into a TrainConfig.
+
+    parity=True applies the strict-reference-parity preset in one flag:
+    fp32 compute (which also selects the exact-erf GELU and keeps every
+    fused/packed kernel off — core/precision.py DEFAULT_POLICY) and
+    ``aux_lr=0`` (the reference never trains the bottleneck quantiles —
+    no aux optimizer anywhere in trainRGB.py:142-198).  Explicit
+    ``**overrides`` still win over the preset.
+    """
     cfg = TrainConfig()
     if path:
         with open(path) as f:
@@ -88,6 +97,11 @@ def load_config(path: Optional[str] = None, **overrides) -> TrainConfig:
                     "distortion"):
             if key in raw:
                 setattr(cfg, key, raw[key])
+    if parity:
+        # after the JSON (the flag means parity even with a config file),
+        # before overrides (explicit kwargs still win)
+        cfg.compute_dtype = "float32"
+        cfg.aux_lr = 0.0
     for k, v in overrides.items():
         if not hasattr(cfg, k):
             raise KeyError(f"unknown config key: {k}")

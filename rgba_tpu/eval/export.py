@@ -69,11 +69,15 @@ def export_serving_forward(model, params, example_batch,
     bundle_params=True bakes the weights in as constants (self-contained
       artifact); False leaves params as the first runtime argument.
     """
+    # training=False is passed EXPLICITLY: all three supported models take
+    # the kwarg, and relying on its default would silently export the
+    # training path (noise quantization) if a module default ever changed —
+    # nothing downstream asserts which path was traced into the artifact.
     if bundle_params:
-        fn = lambda *batch: model.apply(params, *batch)
+        fn = lambda *batch: model.apply(params, *batch, training=False)
         args = tuple(example_batch)
     else:
-        fn = lambda p, *batch: model.apply(p, *batch)
+        fn = lambda p, *batch: model.apply(p, *batch, training=False)
         args = (params,) + tuple(example_batch)
     return export_jitted(fn, args, platforms=platforms,
                          allow_tpu_custom_calls=allow_tpu_custom_calls)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import TrainConfig
+from ..core.precision import policy_from_str
 from ..models.mask_codec import MaskCodec
 from ..models.rgb_codec import RGBCodec
 from ..ops.mask_pyramid import mask_pyramid
@@ -225,7 +226,11 @@ class Trainer:
 
 class MaskTrainer(Trainer):
     def __init__(self, cfg: TrainConfig, save_path: str, model=None, **kw):
-        model = model if model is not None else MaskCodec()
+        # cfg.compute_dtype selects the training policy ("bfloat16" = bf16
+        # activations, "float32" = fp32 + HIGHEST precision — the parity
+        # preset); an explicitly passed model keeps its own policy
+        model = model if model is not None else MaskCodec(
+            policy=policy_from_str(cfg.compute_dtype))
         super().__init__(model, cfg, _mask_loss_fn(model, cfg), save_path,
                          snapshot_keep_after=595_000, **kw)
         self.batch_keys = ("alpha",)
@@ -247,7 +252,8 @@ class MaskTrainer(Trainer):
 
 class RGBTrainer(Trainer):
     def __init__(self, cfg: TrainConfig, save_path: str, model=None, **kw):
-        model = model if model is not None else RGBCodec()
+        model = model if model is not None else RGBCodec(
+            policy=policy_from_str(cfg.compute_dtype))
         super().__init__(model, cfg, _rgb_loss_fn(model, cfg), save_path,
                          snapshot_keep_after=1_495_000, **kw)
         self.batch_keys = ("masked_image", "alpha")

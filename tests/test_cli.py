@@ -89,6 +89,19 @@ def test_codec_cli_preview_slices(tmp_path):
     np.testing.assert_array_equal(p[..., 3], a[..., 3])
 
 
+def test_codec_cli_preview_slices_validation(capsys):
+    """--preview-slices is rejected (not silently ignored) on non-decode
+    commands, and out-of-range K errors instead of silently clamping."""
+    from rgba_tpu.cli import codec
+    for argv in (["encode", "a", "b", "--preview-slices", "3"],
+                 ["encode-dir", "a", "b", "--preview-slices", "3"],
+                 ["decode", "a", "b", "--preview-slices", "-1"],
+                 ["decode", "a", "b", "--preview-slices", "11"]):
+        with pytest.raises(SystemExit):
+            codec.main(argv)
+        assert "--preview-slices" in capsys.readouterr().err
+
+
 def test_codec_cli_legacy_trailer(tmp_path):
     """Blobs written by the pre-container-crop CLI carried an 8-byte h/w
     trailer after an edge-padded container.  The decoder must honor the

@@ -55,6 +55,43 @@ def test_config_mask_two_stage_decay():
                                    rtol=1e-6)
 
 
+def test_config_parity_preset():
+    """--parity = one flag for strict reference parity: fp32 compute
+    (exact-erf GELU + no fused/packed kernels via DEFAULT_POLICY) and
+    aux_lr=0 (the reference never trains the quantiles,
+    trainRGB.py:142-198)."""
+    import jax.numpy as jnp
+    from rgba_tpu.core.precision import policy_from_str
+    cfg = load_config("/root/reference/examples/example/config4096RGB.json",
+                      parity=True)
+    assert cfg.compute_dtype == "float32"
+    assert cfg.aux_lr == 0.0
+    pol = policy_from_str(cfg.compute_dtype)
+    assert pol.compute_dtype == jnp.float32
+    assert pol.gelu_kind == "gelu_erf"
+    assert not (pol.fused_win_attn or pol.fused_dse or pol.fused_gate_chain
+                or pol.packed_dse or pol.int8_conv)
+    # reference JSON keys still load; explicit overrides still win
+    assert cfg.train_lambda == 4096
+    assert load_config(parity=True, aux_lr=1e-3).aux_lr == 1e-3
+
+
+def test_trainer_model_policy_follows_config():
+    """cfg.compute_dtype selects the trainer's model policy (bf16 default,
+    fp32 for parity); an explicitly passed model keeps its own."""
+    import jax.numpy as jnp
+    from rgba_tpu.models.mask_codec import MaskCodec
+    t_bf16 = MaskTrainer(TrainConfig(batch_size=1), "/tmp/_pol_a")
+    assert t_bf16.model.policy.compute_dtype == jnp.bfloat16
+    t_par = MaskTrainer(TrainConfig(batch_size=1, compute_dtype="float32"),
+                        "/tmp/_pol_b")
+    assert t_par.model.policy.compute_dtype == jnp.float32
+    explicit = MaskCodec()
+    t_exp = MaskTrainer(TrainConfig(batch_size=1), "/tmp/_pol_c",
+                        model=explicit)
+    assert t_exp.model is explicit
+
+
 def test_batch_loader():
     ds = SynthDataset(n=10, hw=64)
     loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2)
