@@ -1,29 +1,41 @@
-"""Benchmark: Kodak-shaped RGBA eval throughput on one TPU chip.
+"""Benchmark: Kodak-shaped RGBA serving throughput on one TPU chip.
 
-Measures the same work the reference times at eval (trainRGB.py:281-291):
-mask pyramid + mask codec forward + RGB codec forward (entropy coding
-excluded), on full-size Kodak geometry (768x512), batched for throughput.
+Two metrics, both reported every round (BASELINE.json's north-star unit is
+the real enc+dec number; the forward number matches the reference's own
+eval-timing methodology):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * kodak_rgba_eval_forward_throughput — mask pyramid + mask codec forward
+    + RGB codec forward (entropy coding excluded), exactly the work the
+    reference times at eval (trainRGB.py:281-291), batch 16, SERVE_POLICY.
+  * kodak_rgba_encdec_throughput — full bitstream encode + decode (mask
+    stream -> constraint -> RGB stream; device transforms + host C++ rANS),
+    cross-batch pipelined, batch 16.
+
+Prints ONE JSON line: the primary record is the forward metric (continuity
+with BENCH_r01/r02), with the enc+dec metric as a first-class entry in
+"detail".  "vs_baseline" is null unless BASELINE.json carries a published
+reference number (it publishes none — emitting a constant 1.0 invited
+misreading it as "at parity with the reference").
+
+Env knobs: BENCH_MODE=forward|codec|both (default both), BENCH_BATCH,
+BENCH_ITERS, BENCH_POLICY (forward), BENCH_PIPE=0 to unpipeline the codec.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
 
-def main_codec():
-    """BENCH_MODE=codec: full RGBA bitstream encode + decode (the
-    BASELINE.json north-star unit — 'Kodak RGBA enc+dec images/sec/chip').
+def measure_codec() -> dict:
+    """Full RGBA bitstream encode + decode (the BASELINE.json north-star
+    unit — 'Kodak RGBA enc+dec images/sec/chip').
 
-    Runs the real rANS path per image: mask stream, constraint, RGB stream
-    (device transforms + host C++ rANS), then decodes and checks the recon
-    matches the container's forward-quantized oracle."""
+    Runs the real rANS path: mask stream, constraint, RGB stream (device
+    transforms + host C++ rANS), then decodes and checks the recon."""
     import jax
     import jax.numpy as jnp
 
@@ -36,10 +48,9 @@ def main_codec():
 
     height, width = 512, 768
     iters = int(os.environ.get("BENCH_ITERS", "4"))
-    # batched serving path: the per-slice device round trip of the
-    # channel-AR decode amortizes across the batch (BENCH_BATCH=1 gives
-    # the reference-style per-image mode)
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch 16: the per-slice device round trip of the channel-AR decode
+    # amortizes across the batch (measured best, PERFORMANCE.md)
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
 
     rng = jax.random.PRNGKey(0)
     # fp32 policy: encode and decode recompute (mu, sigma) in differently
@@ -64,9 +75,9 @@ def main_codec():
     datas = [{k: np.round(v * 255.0).astype(np.uint8) for k, v in d.items()}
              for d in datas]
 
-    # BENCH_PIPE=1: cross-batch pipeline (batch n's host rANS/transfers
+    # cross-batch pipeline by default (batch n's host rANS/transfers
     # overlap batch n+1's device compute; bit-identical streams)
-    use_pipe = os.environ.get("BENCH_PIPE", "0") == "1"
+    use_pipe = os.environ.get("BENCH_PIPE", "1") == "1"
 
     # warm-up: compiles all passes; also correctness-probe the round trip
     blobs = codec.encode_batch(datas[0]["image"], datas[0]["alpha"])
@@ -89,19 +100,16 @@ def main_codec():
     np.asarray(rgba).sum()  # everything is host-side already
     dt = time.perf_counter() - t0
 
-    images_per_sec = batch * iters / dt
-    print(json.dumps({
-        "metric": "kodak_rgba_encdec_throughput",
-        "value": round(images_per_sec, 4),
+    return {
+        "value": round(batch * iters / dt, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": 1.0,
-        "detail": {"batch": batch, "pipelined": use_pipe,
-                   "bpp": round(nbytes * 8 / (iters * batch * height * width), 4),
-                   "sec_per_image": round(dt / (iters * batch), 4)},
-    }))
+        "batch": batch, "pipelined": use_pipe,
+        "bpp": round(nbytes * 8 / (iters * batch * height * width), 4),
+        "sec_per_image": round(dt / (iters * batch), 4),
+    }
 
 
-def main():
+def measure_forward() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -147,28 +155,44 @@ def main():
     float(jax.device_get(bpp))
     dt = time.perf_counter() - t0
 
-    images_per_sec = batch * iters / dt
+    return {"value": round(batch * iters / dt, 4),
+            "unit": "images/sec/chip", "batch": batch}
 
-    vs_baseline = 1.0
+
+def _published_ratio(value: float):
+    """images/sec vs a published reference number, if one ever lands in
+    BASELINE.json (the reference repo publishes none — BASELINE.md)."""
     try:
-        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BASELINE.json")) as f:
             published = json.load(f).get("published", {})
         ref = published.get("images_per_sec")
-        if ref:
-            vs_baseline = images_per_sec / float(ref)
+        return round(value / float(ref), 4) if ref else None
     except Exception:  # noqa: BLE001
-        pass
+        return None
 
-    print(json.dumps({
-        "metric": "kodak_rgba_eval_forward_throughput",
-        "value": round(images_per_sec, 4),
-        "unit": "images/sec/chip",
-        "vs_baseline": vs_baseline,
-    }))
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "both")
+    fwd = measure_forward() if mode in ("forward", "both") else None
+    codec = measure_codec() if mode in ("codec", "both") else None
+
+    if mode == "codec":
+        record = {"metric": "kodak_rgba_encdec_throughput",
+                  "value": codec.pop("value"),
+                  "unit": codec.pop("unit"),
+                  "vs_baseline": None,  # no published enc+dec baseline
+                  "detail": codec}
+    else:
+        record = {"metric": "kodak_rgba_eval_forward_throughput",
+                  "value": fwd["value"],
+                  "unit": fwd["unit"],
+                  "vs_baseline": _published_ratio(fwd["value"]),
+                  "detail": {"batch": fwd["batch"]}}
+        if codec is not None:
+            record["detail"]["kodak_rgba_encdec_throughput"] = codec
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "forward") == "codec":
-        main_codec()
-    else:
-        main()
+    main()
