@@ -59,6 +59,30 @@ def _stub_timm():
     sys.modules.setdefault("timm.models.layers", layers)
 
 
+def _to_tensor(pic):
+    """torchvision.transforms.functional.to_tensor for PIL inputs: HWC
+    uint8 -> CHW float / 255 (the only form the reference feeds it —
+    MYdataset.py:230-236 reads PNGs)."""
+    arr = np.array(pic, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return torch.from_numpy(
+        np.ascontiguousarray(arr.transpose(2, 0, 1))).float().div(255.0)
+
+
+class _Compose:
+    """transforms.Compose — the reference only builds empty pipelines
+    (MYdataset.py:216-218, pull_item's `transforms.Compose([])`)."""
+
+    def __init__(self, ts):
+        self.ts = ts
+
+    def __call__(self, x):
+        for t in self.ts:
+            x = t(x)
+        return x
+
+
 def _stub_torchvision():
     tv = types.ModuleType("torchvision")
     utils = types.ModuleType("torchvision.utils")
@@ -70,6 +94,21 @@ def _stub_torchvision():
     sys.modules.setdefault("torchvision.utils", utils)
     sys.modules.setdefault("torchvision.datasets", tv.datasets)
     sys.modules.setdefault("torchvision.transforms", tv.transforms)
+    # enrich whichever instances are installed (idempotent re-entry):
+    # the reference drivers/datasets additionally use Compose,
+    # functional.to_tensor and import (but never build) ImageFolder
+    tv = sys.modules["torchvision"]
+    tvt = sys.modules["torchvision.transforms"]
+    tvt.Compose = _Compose
+    func = getattr(tvt, "functional",
+                   types.ModuleType("torchvision.transforms.functional"))
+    func.to_tensor = _to_tensor
+    tvt.functional = func
+    tv.transforms = tvt
+    sys.modules["torchvision.transforms.functional"] = func
+    sys.modules["torchvision.datasets"].ImageFolder = object
+    tv.datasets = sys.modules["torchvision.datasets"]
+    tv.utils = sys.modules["torchvision.utils"]
 
 
 def _stub_compressai():
@@ -268,6 +307,32 @@ def load_model(which: str):
     mod = importlib.util.module_from_spec(spec)
     sys.modules[modname] = mod
     spec.loader.exec_module(mod)
+    return mod
+
+
+def load_driver(which: str):
+    """Import the reference DRIVER (trainRGB.py / trainmask.py) as a module
+    so its own ``testKodak`` (trainRGB.py:258-334, trainmask.py:242-293)
+    can be executed on CPU.
+
+    The module body only builds an argparse parser and sets globals (the
+    train/eval flow is under ``__main__``, trainRGB.py:336); CUDA is never
+    touched at import (``device`` is just the string 'cuda:0', which the
+    caller must override to 'cpu' before running anything).  Reference
+    packages (models/, my_datasets/, metrics/, Meter.py) resolve as
+    namespace packages by putting /root/reference on sys.path."""
+    load_layers()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    fname = {"rgb": "trainRGB", "mask": "trainmask"}[which]
+    modname = f"ref_{fname}"
+    if modname in sys.modules:
+        return sys.modules[modname]
+    spec = importlib.util.spec_from_file_location(modname, f"{REF}/{fname}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    mod.device = "cpu"
     return mod
 
 

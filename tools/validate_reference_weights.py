@@ -1,0 +1,229 @@
+"""Validate released reference weights against the 0.1% parity gate.
+
+BASELINE.md's acceptance procedure: run the reference's own eval with the
+published ``.pth.tar`` weights (README.md:56-58 Drive link), run OUR eval
+with the SAME weights imported through torch_import, and diff per-image
+Bpp / PSNR / MS-SSIM.  This tool does exactly that, end to end:
+
+  (a) executes the reference's OWN ``testKodak`` (trainRGB.py:258-334)
+      on CPU torch — the real reference driver module, imported with the
+      tiny dependency stubs from tests/ref_torch.py (timm/torchvision/
+      compressai eval-path forwards, parity-pinned by
+      tests/test_torch_parity.py);
+  (b) runs ``rgba_tpu.eval.evaluate_kodak`` with the weights imported via
+      ``load_checkpoint`` (the .pth.tar auto-importer);
+  (c) parses both sides' per-image log lines (the reference's only
+      machine-readable output) and gates every Bpp/PSNR/MS-SSIM pair at
+      ``--tol`` relative error (default 1e-3 = the 0.1% north star).
+
+Usage:
+    PYTHONPATH=/root/.axon_site:/root/repo python tools/validate_reference_weights.py \
+        --rgb checkpoints/JournalRGB/4096/iter_1500000.pth.tar \
+        --mask checkpoints/JournalMask/4096/iter_600000.pth.tar \
+        --kodak ../Kodak/ [--tol 1e-3] [--out report.json] [--cpu]
+
+Exit status 0 iff every pair passes the gate.  --cpu forces jax onto the
+host CPU (bit-closest to the torch side; without it our eval runs on the
+TPU with the fp32 parity policy, which is also expected to pass).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import logging
+import os
+import re
+import sys
+import tempfile
+
+ROW_RE = re.compile(
+    r"Time:[^,]+, Num:(\d+), Bpp:([-\d.einfa]+), PSNR:([-\d.einfa]+), "
+    r"MS-SSIM:([-\d.einfa]+), MS-SSIM-DB:([-\d.einfa]+)")
+
+
+class _Capture(logging.Handler):
+    def __init__(self):
+        super().__init__()
+        self.rows = []
+        self.lines = []
+
+    def emit(self, record):
+        msg = record.getMessage()
+        self.lines.append(msg)
+        m = ROW_RE.search(msg)
+        if m:
+            self.rows.append({
+                "num": int(m.group(1)),
+                "bpp": float(m.group(2)),
+                "psnr": float(m.group(3)),
+                "msssim": float(m.group(4)),
+            })
+
+
+@contextlib.contextmanager
+def _capture(logger_name: str):
+    lg = logging.getLogger(logger_name)
+    h = _Capture()
+    old_level = lg.level
+    lg.addHandler(h)
+    lg.setLevel(logging.INFO)
+    try:
+        yield h
+    finally:
+        lg.removeHandler(h)
+        lg.setLevel(old_level)
+
+
+def run_reference_eval(rgb_path: str, mask_path: str, kodak_root: str):
+    """Run the reference's own testKodak on CPU; returns per-image rows."""
+    import torch
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    import ref_torch
+
+    m = ref_torch.load_driver("rgb")
+    m.device = "cpu"
+    m.tb_logger = None
+
+    def _load(model, path):
+        # the reference's load_model calls bare torch.load, which cannot
+        # map GPU-saved tensors to CPU — pre-map and re-save under the
+        # same iter_N name so its filename-step parsing still applies
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, os.path.basename(path))
+            torch.save(sd, p)
+            return m.load_model(model, p)
+
+    net = m.AutoEncoder()
+    masknet = m.MaskAutoEncoder()
+    step = _load(net, rgb_path)
+    _load(masknet, mask_path)
+    m.net = net.to("cpu").eval()
+    m.masknet = masknet.to("cpu").eval()
+    m.EncMakeMask = m.SupplyMaskToTransform()
+    # >= 500k selects the RGBA branch (recon mask as alpha, mask bpp
+    # accounting) — the released RGB weights are iter_1500000
+    m.global_step = max(step, 500_000)
+
+    # single-core box: forked DataLoader workers only add overhead (and
+    # forking a process with live jax threads can deadlock) — same
+    # dataset/ordering, num_workers=0
+    prepare = m.prepare
+    orig = prepare.prepare_dataset_Kodak
+
+    def _kodak_nw0(batch_size=1, rootpath="../Kodak"):
+        import torch.utils.data as tdata
+        loader, img_list = orig(batch_size=batch_size, rootpath=rootpath)
+        return tdata.DataLoader(loader.dataset, batch_size=batch_size,
+                                shuffle=False, num_workers=0), img_list
+
+    prepare.prepare_dataset_Kodak = _kodak_nw0
+    try:
+        # testKodak hardcodes rootpath="../Kodak/" — give it that path
+        with tempfile.TemporaryDirectory() as td:
+            os.symlink(os.path.abspath(kodak_root), os.path.join(td, "Kodak"))
+            run_dir = os.path.join(td, "run")
+            os.makedirs(run_dir)
+            cwd = os.getcwd()
+            os.chdir(run_dir)
+            try:
+                with _capture("ImageCompression") as cap, torch.no_grad():
+                    m.testKodak(m.global_step)
+            finally:
+                os.chdir(cwd)
+    finally:
+        prepare.prepare_dataset_Kodak = orig
+    assert cap.rows, "reference testKodak produced no per-image rows:\n" + \
+        "\n".join(cap.lines[-5:])
+    return cap.rows, step
+
+
+def run_our_eval(rgb_path: str, mask_path: str, kodak_root: str, step: int):
+    """Our eval with imported weights (fp32 parity policy)."""
+    import jax
+    import jax.numpy as jnp
+    from rgba_tpu.eval.kodak import evaluate_kodak
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+    from rgba_tpu.train.checkpoint import load_checkpoint
+
+    key = jax.random.PRNGKey(0)
+    mask_model = MaskCodec()
+    rgb_model = RGBCodec()
+    m0 = jnp.zeros((1, 64, 64, 1))
+    x0 = jnp.zeros((1, 64, 64, 3))
+    mask_tmpl = mask_model.init({"params": key, "noise": key}, m0,
+                                training=False)["params"]
+    rgb_tmpl = rgb_model.init({"params": key, "noise": key}, x0, m0, m0,
+                              mask_pyramid(m0), training=False)["params"]
+    rgb_params = load_checkpoint(jax.device_get(rgb_tmpl), rgb_path)
+    mask_params = load_checkpoint(jax.device_get(mask_tmpl), mask_path)
+
+    with _capture("rgba_tpu") as cap:
+        avg = evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
+                             kodak_root, step=step)
+    assert cap.rows, "our eval produced no per-image rows"
+    return cap.rows, avg
+
+
+def compare(ref_rows, our_rows, tol: float) -> dict:
+    assert len(ref_rows) == len(our_rows), (len(ref_rows), len(our_rows))
+    per_image, worst = [], 0.0
+    for r, o in zip(ref_rows, our_rows):
+        row = {"num": r["num"]}
+        for k in ("bpp", "psnr", "msssim"):
+            rel = abs(o[k] - r[k]) / max(abs(r[k]), 1e-12)
+            row[k] = {"ref": r[k], "ours": o[k], "rel_err": rel}
+            worst = max(worst, rel)
+        per_image.append(row)
+    return {"per_image": per_image, "worst_rel_err": worst,
+            "tol": tol, "pass": worst <= tol}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="reference-weight parity validation (0.1% gate)")
+    ap.add_argument("--rgb", required=True, help="RGB codec .pth.tar")
+    ap.add_argument("--mask", required=True, help="mask codec .pth.tar")
+    ap.add_argument("--kodak", required=True, help="Kodak RGBA tree root")
+    ap.add_argument("--tol", type=float, default=1e-3,
+                    help="relative-error gate (default 0.1%%)")
+    ap.add_argument("--out", default="", help="write the JSON report here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force jax onto the host CPU")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    rgb, mask = os.path.abspath(args.rgb), os.path.abspath(args.mask)
+    kodak = os.path.abspath(args.kodak)
+
+    logging.basicConfig(level=logging.WARNING)
+    print("[1/3] reference testKodak (torch, CPU)...", flush=True)
+    ref_rows, step = run_reference_eval(rgb, mask, kodak)
+    print(f"      {len(ref_rows)} images, step={step}", flush=True)
+    print("[2/3] rgba_tpu evaluate_kodak (imported weights)...", flush=True)
+    our_rows, avg = run_our_eval(rgb, mask, kodak, step)
+    print("[3/3] comparing...", flush=True)
+    report = compare(ref_rows, our_rows, args.tol)
+    report["avg_ours"] = {k: avg[k] for k in ("bpp", "psnr", "msssim")}
+
+    for row in report["per_image"]:
+        print("  img {num}: bpp {bpp[ref]:.6f}/{bpp[ours]:.6f} "
+              "psnr {psnr[ref]:.4f}/{psnr[ours]:.4f} "
+              "msssim {msssim[ref]:.6f}/{msssim[ours]:.6f}".format(**row))
+    print(f"worst relative error: {report['worst_rel_err']:.3e} "
+          f"(gate {args.tol:g}) -> {'PASS' if report['pass'] else 'FAIL'}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
