@@ -3,99 +3,158 @@
 The reference ships ten λ-sweep configs (examples/*.json) whose whole
 point is a monotone RD curve: higher λ → more bits → higher PSNR
 (trainRGB.py RD loss λ·255²·MSE + bpp).  This trains the RGB codec at
-three λs against one shared trained mask codec, evaluates each with the
-REAL bitstream on the same synthetic Kodak tree, and asserts the RD
-ordering — the strongest cheap end-to-end evidence that the training
-stack (losses, entropy models, aux optimizer, checkpointing) optimizes
-what it claims.
+three λs (plus the msssim-distortion model, trainRGB.py:183's
+commented-out option) against one shared trained mask codec, evaluates
+each with the REAL bitstream on the same synthetic Kodak tree, and
+asserts the RD ordering — the strongest cheap end-to-end evidence that
+the training stack (losses, entropy models, aux optimizer,
+checkpointing) optimizes what it claims.
+
+The training loop keeps the whole synthetic dataset DEVICE-RESIDENT and
+gathers each batch on-device: end-to-end step time in this environment
+is otherwise tunnel-transfer-bound (~46 MB/step; PERFORMANCE.md) — the
+compute-only step is ~0.37-0.44 s vs ~1.3-1.5 s with per-step host
+transfers, which is what makes a 10k-step sweep feasible in one round.
+
+Wedge-tolerant: checkpoints every 1000 steps and resumes from the
+latest iter_N.ckpt (params-only — the reference's own resume semantics,
+trainRGB.py:83-96), so a killed/wedged run loses at most ~7 minutes.
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo \
-       python -u tools/rd_sweep_proof.py [steps_per_run] (default 800)
+       python -u tools/rd_sweep_proof.py [--steps-mask N] [--steps-rgb N]
+           [--steps-msssim N] [--only name,name] [--eval-only]
+           [--outdir /tmp/rd_sweep]
+
+Defaults (800/800/0) match the round-2 smoke budget; round 3 ran
+--steps-mask 4000 --steps-rgb 10000 --steps-msssim 8000.
 """
 
+import argparse
 import json
 import os
-import sys
 import time
 
 import jax
 import numpy as np
 
 from rgba_tpu.core.config import TrainConfig
-from rgba_tpu.data.loader import BatchLoader
 from rgba_tpu.models.mask_codec import MaskCodec
 from rgba_tpu.models.rgb_codec import RGBCodec
 from rgba_tpu.parallel.mesh import shard_batch
 from rgba_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, \
-    save_checkpoint
+    save_checkpoint, step_from_path
 from rgba_tpu.train.loops import MaskTrainer, RGBTrainer
-from tools.train_proof import SynthDataset
 
 LAMBDAS = (256, 1024, 4096)
+DATA_N = 128  # distinct synthetic images kept device-resident
+CKPT_EVERY = 1000
 
 
-def train_one(kind, lam, steps, outdir):
+def _ts():
+    return time.strftime("%H:%M:%S")
+
+
+def synth_device_data(keys, n=DATA_N, hw=256):
+    """Generate n synthetic images host-side in chunks and park the
+    requested batch keys on the device once (~1.3 MB/image for
+    masked_image+alpha — one transfer instead of one per step)."""
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    chunks = {k: [] for k in keys}
+    for i in range(0, n, 16):
+        b = synthetic_rgba_batch(min(16, n - i), hw, hw, seed=i)
+        for k in keys:
+            chunks[k].append(b[k])
+    return {k: jax.device_put(np.concatenate(chunks[k])) for k in keys}
+
+
+def train_one(name, kind, lam, steps, outdir, distortion="mse"):
     cfg = TrainConfig(train_lambda=lam, batch_size=16, cal_step=1,
                       tot_step=steps, aux_lr=1e-3, curriculum_step=0,
                       snapshot_freq=10 ** 9, save_model_freq=10 ** 9,
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", distortion=distortion)
     cls = MaskTrainer if kind == "mask" else RGBTrainer
-    ckdir = os.path.join(outdir, f"{kind}_{lam}_ck")
+    ckdir = os.path.join(outdir, f"{name}_ck")
     # crash/extend resume: params-only from the latest iter_N.ckpt (the
     # reference's own resume semantics — torch state_dict has no optimizer
     # state either, trainRGB.py:83-96)
     start, params = 0, None
     latest = latest_checkpoint(ckdir)
     if latest is not None:
-        from rgba_tpu.train.checkpoint import step_from_path
         start = step_from_path(latest)
         if start >= steps:
-            print(f"[{kind} λ={lam}] already trained to {start} — reusing",
+            print(f"[{_ts()} {name}] already trained to {start} — reusing",
                   flush=True)
             return ckdir
-        print(f"[{kind} λ={lam}] resuming from step {start}", flush=True)
+        print(f"[{_ts()} {name}] resuming from step {start}", flush=True)
     trainer = cls(cfg, ckdir)
-    loader = BatchLoader(SynthDataset(n=256, hw=256),
-                         batch_size=cfg.batch_size, num_workers=4, seed=0)
-    it = iter(loader)
+    data = synth_device_data(trainer.batch_keys)
     if latest is not None:
-        tmpl = jax.device_get(trainer.init_state(next(it)).params)
+        example = {k: np.asarray(data[k][:cfg.batch_size]) for k in data}
+        tmpl = jax.device_get(trainer.init_state(example).params)
         params = load_checkpoint(tmpl, latest)
-    state = trainer.init_state(next(it), params=params, step=start)
+    example = {k: np.asarray(data[k][:cfg.batch_size]) for k in data}
+    state = trainer.init_state(example, params=params, step=start)
     step_fn = trainer.compiled_step()
     rng = jax.random.PRNGKey(lam + start)
+    idx_rng = np.random.RandomState(1000 + lam + start)
     t0 = time.time()
     for i in range(start, steps):
-        try:
-            batch = next(it)
-        except StopIteration:
-            it = iter(loader)
-            batch = next(it)
-        rng, sub = jax.random.split(rng)
+        idx = idx_rng.randint(0, DATA_N, size=cfg.batch_size)
+        # on-device gather + (single-device) reshard: no host transfer
         db = shard_batch(trainer.mesh,
-                         {k: batch[k] for k in trainer.batch_keys})
+                         {k: data[k][idx] for k in trainer.batch_keys})
+        rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, db, sub)
         if (i + 1) % 400 == 0:
             m = jax.device_get(metrics)
-            print(f"[{kind} λ={lam}] step {i}: "
+            print(f"[{_ts()} {name}] step {i}: "
                   f"rd={float(m['rd_loss']):.3f} "
                   f"bpp={float(m['bpp']):.4f}", flush=True)
-        if (i + 1) % 800 == 0 and (i + 1) < steps:
+        if (i + 1) % CKPT_EVERY == 0 and (i + 1) < steps:
             save_checkpoint(state.params, ckdir, i + 1)
     save_checkpoint(state.params, ckdir, steps)
-    print(f"[{kind} λ={lam}] steps {start}..{steps} in "
+    print(f"[{_ts()} {name}] steps {start}..{steps} in "
           f"{time.time() - t0:.0f}s", flush=True)
     return ckdir
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 800
-    outdir = "/tmp/rd_sweep"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-mask", type=int, default=800)
+    ap.add_argument("--steps-rgb", type=int, default=800)
+    ap.add_argument("--steps-msssim", type=int, default=0,
+                    help="0 skips the msssim-distortion model")
+    ap.add_argument("--only", default="",
+                    help="comma list: mask,rgb_256,rgb_1024,rgb_4096,msssim")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate current checkpoints")
+    ap.add_argument("--outdir", default="/tmp/rd_sweep")
+    args = ap.parse_args()
+    outdir = args.outdir
     os.makedirs(outdir, exist_ok=True)
     print(jax.devices(), flush=True)
 
-    mask_ck = train_one("mask", 1024, steps, outdir)
-    rgb_cks = {lam: train_one("rgb", lam, steps, outdir) for lam in LAMBDAS}
+    runs = {"mask": ("mask", 1024, args.steps_mask, "mse")}
+    for lam in LAMBDAS:
+        runs[f"rgb_{lam}"] = ("rgb", lam, args.steps_rgb, "mse")
+    if args.steps_msssim:
+        # λ=64: the scale at which (1-msssim) trades against bpp
+        # (PERFORMANCE.md round-2 msssim proof)
+        runs["msssim"] = ("rgb", 64, args.steps_msssim, "msssim")
+    only = set(args.only.split(",")) if args.only else set(runs)
+
+    cks = {}
+    for name, (kind, lam, steps, dist) in runs.items():
+        if name not in only:
+            ckdir = os.path.join(outdir, f"{name}_ck")
+            if latest_checkpoint(ckdir) is not None:
+                cks[name] = ckdir
+            continue
+        if args.eval_only:
+            cks[name] = os.path.join(outdir, f"{name}_ck")
+            assert latest_checkpoint(cks[name]) is not None, cks[name]
+        else:
+            cks[name] = train_one(name, kind, lam, steps, outdir, dist)
 
     import jax.numpy as jnp
     from rgba_tpu.data.synthetic import write_synthetic_kodak_tree
@@ -111,33 +170,43 @@ def main():
     rgb_tmpl = rgb_model.init({"params": key, "noise": key}, x0, m0, m0,
                               mask_pyramid(m0), training=False)["params"]
     mask_params = load_checkpoint(jax.device_get(mask_tmpl),
-                                  latest_checkpoint(mask_ck))
+                                  latest_checkpoint(cks["mask"]))
 
     tree = os.path.join(outdir, "kodak")
-    write_synthetic_kodak_tree(tree, n_images=3, height=512, width=768)
+    write_synthetic_kodak_tree(tree, n_images=4, height=512, width=768)
 
     points = {}
-    for lam in LAMBDAS:
-        rgb_params = load_checkpoint(jax.device_get(rgb_tmpl),
-                                     latest_checkpoint(rgb_cks[lam]))
+    for name in [k for k in runs if k != "mask" and k in cks]:
+        ck = latest_checkpoint(cks[name])
+        rgb_params = load_checkpoint(jax.device_get(rgb_tmpl), ck)
         avg = evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
-                             tree, step=steps, real_codec=True)
-        points[lam] = {k: round(float(v), 6) for k, v in avg.items()}
-        print(f"λ={lam}: {json.dumps(points[lam])}", flush=True)
+                             tree, step=step_from_path(ck), real_codec=True)
+        points[name] = {k: round(float(v), 6) for k, v in avg.items()}
+        points[name]["step"] = step_from_path(ck)
+        print(f"[{_ts()}] {name}: {json.dumps(points[name])}", flush=True)
 
-    bpps = [points[lam]["real_bpp"] for lam in LAMBDAS]
-    psnrs = [points[lam]["psnr"] for lam in LAMBDAS]
-    print(f"RD sweep: bpp={bpps} psnr={psnrs}", flush=True)
     # record the points BEFORE asserting — a failed ordering check (e.g.
     # an undertrained high-λ point) should still leave the data on disk,
     # and the checkpoints allow extending the run with a larger step count
     with open(os.path.join(outdir, "rd_points.json"), "w") as f:
         json.dump(points, f, indent=2)
+
+    names = [f"rgb_{lam}" for lam in LAMBDAS if f"rgb_{lam}" in points]
+    bpps = [points[n]["real_bpp"] for n in names]
+    psnrs = [points[n]["psnr"] for n in names]
+    ests = [points[n]["bpp"] for n in names]
+    print(f"RD sweep: bpp={bpps} psnr={psnrs} est_bpp={ests}", flush=True)
     assert all(np.isfinite(v) and v > 0 for v in bpps), bpps
-    # monotone rate in λ — the core RD contract
-    assert bpps[0] < bpps[1] < bpps[2], bpps
-    # distortion should not get WORSE as λ (and rate) grow; allow noise
-    assert psnrs[2] > psnrs[0] - 0.1, psnrs
+    if len(names) == len(LAMBDAS):
+        # monotone rate AND distortion in λ — the core RD contract
+        assert bpps[0] < bpps[1] < bpps[2], bpps
+        assert psnrs[0] < psnrs[1] < psnrs[2], psnrs
+        # the estimated (differentiable) rate must track the real
+        # bitstream within ~1% at every point
+        for n, est, real in zip(names, ests, bpps):
+            gap = abs(real - est) / real
+            print(f"{n}: real-vs-est bpp gap {gap * 100:.2f}%", flush=True)
+            assert gap < 0.015, (n, est, real)
     print("rd_sweep_proof OK", flush=True)
 
 
