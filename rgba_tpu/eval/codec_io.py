@@ -42,6 +42,31 @@ from ..ops.mask_pyramid import mask_pyramid
 _MAX_CODING_THREADS = 8
 
 
+def drive_chains(chains: Sequence) -> List:
+    """Round-robin a set of decode-chain generators to completion and
+    return their results (StopIteration values), in order.
+
+    Each chain yields right after enqueueing device work and fetches /
+    host-decodes when resumed, so driving chains A and B together makes
+    A's host rANS + transfers run while B's device dispatch computes and
+    vice versa — the intra-request analog of PipelinedCodec's cross-batch
+    overlap (PERFORMANCE.md round-2 "next targets").  Results are
+    bit-identical to serial driving: interleaving only reorders *when*
+    independent work is enqueued on the single device stream."""
+    outs: List = [None] * len(chains)
+    live = list(enumerate(chains))
+    while live:
+        still = []
+        for i, ch in live:
+            try:
+                next(ch)
+                still.append((i, ch))
+            except StopIteration as e:
+                outs[i] = e.value
+        live = still
+    return outs
+
+
 class CodecIO:
     """Wraps a codec model (+params) with entropy tables and jitted passes.
 
@@ -335,97 +360,89 @@ class CodecIO:
                 # 8-bit-boundary alpha pixel and desync the stream)
                 gate_host = np.asarray(jax.device_get(me[2])) > 0
                 args = (jnp.asarray(gate_host),) + args
-            y_syms, y_idxs, z_sym, z_shape = jax.device_get(
-                self._compress_variant(rg, dzd)(self.params, *pre, *args))
+            syms_d, idxs_d, z_d, z_shape = \
+                self._compress_variant(rg, dzd)(self.params, *pre, *args)
         else:
             args = (jnp.asarray(mask),)
             batch = mask.shape[0]
-            y_syms, y_idxs, z_sym, z_shape = jax.device_get(
-                self._compress_variant(False, dzd)(self.params, *pre, *args))
-        y_syms = y_syms.astype(np.int32)
-        y_idxs = y_idxs.astype(np.int32)
-        z_sym = z_sym.astype(np.int32)
+            syms_d, idxs_d, z_d, z_shape = \
+                self._compress_variant(False, dzd)(self.params, *pre, *args)
 
         t = self.eb_tables
-        c = z_sym.shape[-1]
-        z_indexes = np.broadcast_to(
-            np.arange(c, dtype=np.int32), z_sym.shape[1:])
-        shape = tuple(int(s) for s in z_shape[1:3])
-        n_slices, _, lh, lw, sw = y_syms.shape
+        shape = tuple(int(s) for s in jax.device_get(z_shape)[1:3])
 
-        def code_one(b):
-            z_string = rans.encode_with_indexes(
-                z_sym[b].ravel(), z_indexes.ravel(),
-                t["quantized_cdfs"], t["cdf_lengths"], t["offsets"])
-            # slice-major symbol order — the decoder reads slice 0 first
-            syms_b = y_syms[:, b].ravel()
-            idxs_b = y_idxs[:, b].ravel()
-            if gate_host is not None:
-                alive = np.broadcast_to(
-                    gate_host[b][None], (n_slices, lh, lw, sw)).ravel()
-                syms_b, idxs_b = syms_b[alive], idxs_b[alive]
-            y_string = rans.encode_with_indexes(
-                syms_b, idxs_b,
-                self.gc.quantized_cdfs, self.gc.cdf_lengths, self.gc.offsets)
-            out = {"strings": [y_string, z_string], "shape": shape}
-            if gate_host is not None:
-                out["gate"] = gate_host[b]       # (lh, lw, 1) bool
-            return out
+        def code_part(part, gate_part):
+            """rANS-code one fetched sub-batch on host threads."""
+            y_syms, y_idxs, z_sym = part
+            n_slices, bs, lh, lw, sw = y_syms.shape
+            c = z_sym.shape[-1]
+            z_indexes = np.broadcast_to(
+                np.arange(c, dtype=np.int32), z_sym.shape[1:]).ravel()
 
-        if batch == 1:
-            return [code_one(0)]
-        return list(self._pool.map(code_one, range(batch)))
+            def one(b):
+                z_string = rans.encode_with_indexes(
+                    z_sym[b].ravel(), z_indexes,
+                    t["quantized_cdfs"], t["cdf_lengths"], t["offsets"])
+                # slice-major symbol order — the decoder reads slice 0 first
+                syms_b = y_syms[:, b].ravel()
+                idxs_b = y_idxs[:, b].ravel()
+                if gate_part is not None:
+                    alive = np.broadcast_to(
+                        gate_part[b][None], (n_slices, lh, lw, sw)).ravel()
+                    syms_b, idxs_b = syms_b[alive], idxs_b[alive]
+                y_string = rans.encode_with_indexes(
+                    syms_b, idxs_b, self.gc.quantized_cdfs,
+                    self.gc.cdf_lengths, self.gc.offsets)
+                out = {"strings": [y_string, z_string], "shape": shape}
+                if gate_part is not None:
+                    out["gate"] = gate_part[b]       # (lh, lw, 1) bool
+                return out
 
-    def decompress_batch(self, compressed: Sequence[dict],
-                         mask: Optional[np.ndarray] = None,
-                         device: bool = False,
-                         rate_gate: Optional[bool] = None,
-                         max_slices: Optional[int] = None,
-                         return_latent: bool = False) -> np.ndarray:
-        """Batched decompress of same-shaped streams. The slice loop runs
-        once for the whole batch: one fused device dispatch + one index
-        fetch per slice, with the B rANS streams decoded on host threads.
+            if bs == 1:
+                return [one(0)]
+            return list(self._pool.map(one, range(bs)))
 
-        device=True returns the reconstruction as a device array (no host
-        fetch) so callers can keep post-processing on-chip — the container
-        uses this to chain mask-decode -> constraint -> RGB gating without
-        host round trips.
+        def fetch(sl):
+            got = jax.device_get((syms_d[:, sl], idxs_d[:, sl], z_d[sl]))
+            return tuple(a.astype(np.int32) for a in got)
 
-        max_slices=k (progressive preview, 0 <= k <= num_slices) decodes
-        only the first k latent slices from the stream and completes the
-        rest with the prior's means (symbol 0) in one fused dispatch — a
-        preview costs k+2 device dispatches instead of num_slices+1 and
-        skips the tail's rANS work entirely.  The channel-AR chain is
-        causal, so the k decoded slices are bit-identical to a full
-        decode; quality degrades gracefully as k shrinks (the slice
-        ordering makes early slices the most informative — the same
-        structure the reference's max_support_slices=5 exploits).  The
-        stream itself is untouched: ONE encoded blob serves every preview
-        level.  return_latent=True additionally returns y_hat (used by
-        tests to pin the causality guarantee).
+        def gate_of(sl):
+            return None if gate_host is None else gate_host[sl]
 
-        For rate-gated streams the gate the ENCODER used must be supplied:
-        either per-stream (compressed[b]["gate"], how the container ships
-        it) or it is re-derived from `mask` — the fallback is only safe
-        when this process also produced the streams (re-deriving from an
-        alpha decoded by a differently-compiled executable could flip an
-        8-bit-boundary pixel and desync the rANS stream)."""
-        rg = self.rate_gate if rate_gate is None else (
-            bool(rate_gate) and self.kind == "rgb")
+        # split-fetch overlap: half B's bytes cross the link in a worker
+        # thread while half A's streams are rANS-coded on the host (the
+        # encode analog of decompress_chain's host/device interleave) —
+        # same executable, so the streams are bit-identical by construction
+        half = batch // 2
+        if half == 0:
+            return code_part(fetch(slice(0, batch)), gate_of(slice(0, batch)))
+        fut = self._pool.submit(fetch, slice(half, batch))
+        out = code_part(fetch(slice(0, half)), gate_of(slice(0, half)))
+        return out + code_part(fut.result(), gate_of(slice(half, batch)))
+
+    def decompress_chain(self, compressed: Sequence[dict],
+                         gate_host: Optional[np.ndarray] = None,
+                         max_slices: Optional[int] = None):
+        """Generator form of the decode slice loop: decodes the latent
+        y_hat for a batch of same-shaped streams, yielding right after
+        each device dispatch so a driver (``drive_chains``) can interleave
+        several chains — one chain's host rANS + index fetch overlaps
+        another chain's device compute.  The container uses this to run
+        the mask codec's 5-slice chain under the RGB codec's 10-slice
+        chain with the SAME executables (results bit-identical to serial
+        order — interleaving only changes *when* independent programs are
+        enqueued on the single device stream).
+
+        gate_host: (B, lh, lw, 1) bool alive bitmap for rate-gated
+        streams — the encoder's exact gate (container section 5).
+        Returns the device-resident y_hat via the generator return value
+        (``StopIteration.value``)."""
         k = self.num_slices if max_slices is None else max(
             0, min(int(max_slices), self.num_slices))
         batch = len(compressed)
         zh, zw = compressed[0]["shape"]
         assert all(c["shape"] == (zh, zw) for c in compressed), \
-            "decompress_batch requires same-shaped streams"
-        md = mask_pyramid(jnp.asarray(mask)) if self.kind == "rgb" else None
-        gate_host = None
-        if rg:
-            if all("gate" in c for c in compressed):
-                gate_host = np.stack([np.asarray(c["gate"]) for c in
-                                      compressed])
-            else:
-                gate_host = np.asarray(jax.device_get(md[2])) > 0
+            "decompress requires same-shaped streams"
         t = self.eb_tables
         c = t["quantized_cdfs"].shape[0]
         z_indexes = np.broadcast_to(np.arange(c, dtype=np.int32),
@@ -458,34 +475,109 @@ class CodecIO:
         y_hats: List = []
         if k == 0:
             y_hat = self._tail_fill_fn(0)(self.params, lm, ls)
-        else:
-            mu, index = self._first_stats_fn(self.params, lm, ls)
-            for i in range(k):
-                # uint8 down, int16 up — the tunnel pays per byte
-                idx_np = jax.device_get(index).astype(np.int32)
-                if gate_host is not None and alives[0] is None:
-                    sw = idx_np.shape[-1]
-                    lh, lw = idx_np.shape[1], idx_np.shape[2]
-                    alives = [np.broadcast_to(gate_host[b], (1, lh, lw, sw))
-                              .ravel() for b in range(batch)]
-                syms = list(self._pool.map(
-                    decode_slice,
-                    [(decoders[b], idx_np[b:b + 1], alives[b])
-                     for b in range(batch)]))
-                sym_dev = jnp.asarray(np.concatenate(syms).astype(np.int16))
-                if i + 1 < k:
-                    y_prev, mu, index = self._step_fns[i + 1](
-                        self.params, lm, ls, sym_dev, mu, *y_hats)
-                    y_hats.append(y_prev)
-                elif k < self.num_slices:
-                    y_hats.append(self._tail_fill_fn(k)(
-                        self.params, lm, ls, sym_dev, mu, *y_hats))
-                else:
-                    y_hats.append(self._last_finish_fn(
-                        self.params, lm, sym_dev, mu, *y_hats))
-            y_hat = jnp.concatenate(y_hats, axis=-1)
+            for dec in decoders:
+                dec.close()
+            yield
+            return y_hat
+        mu, index = self._first_stats_fn(self.params, lm, ls)
+        yield  # hyper decode + slice-0 stats enqueued; let siblings run
+        for i in range(k):
+            # uint8 down, int16 up — the tunnel pays per byte
+            idx_np = jax.device_get(index).astype(np.int32)
+            if gate_host is not None and alives[0] is None:
+                sw = idx_np.shape[-1]
+                lh, lw = idx_np.shape[1], idx_np.shape[2]
+                alives = [np.broadcast_to(gate_host[b], (1, lh, lw, sw))
+                          .ravel() for b in range(batch)]
+            syms = list(self._pool.map(
+                decode_slice,
+                [(decoders[b], idx_np[b:b + 1], alives[b])
+                 for b in range(batch)]))
+            sym_dev = jnp.asarray(np.concatenate(syms).astype(np.int16))
+            if i + 1 < k:
+                y_prev, mu, index = self._step_fns[i + 1](
+                    self.params, lm, ls, sym_dev, mu, *y_hats)
+                y_hats.append(y_prev)
+            elif k < self.num_slices:
+                y_hats.append(self._tail_fill_fn(k)(
+                    self.params, lm, ls, sym_dev, mu, *y_hats))
+            else:
+                y_hats.append(self._last_finish_fn(
+                    self.params, lm, sym_dev, mu, *y_hats))
+            yield  # slice i finished + slice i+1 stats enqueued
         for dec in decoders:
             dec.close()
+        return jnp.concatenate(y_hats, axis=-1)
+
+    def decompress_batch(self, compressed: Sequence[dict],
+                         mask: Optional[np.ndarray] = None,
+                         device: bool = False,
+                         rate_gate: Optional[bool] = None,
+                         max_slices: Optional[int] = None,
+                         return_latent: bool = False,
+                         interleave: int = 1,
+                         ) -> "np.ndarray | jax.Array | tuple":
+        """Batched decompress of same-shaped streams. The slice loop runs
+        once for the whole batch: one fused device dispatch + one index
+        fetch per slice, with the B rANS streams decoded on host threads.
+
+        interleave=G > 1 splits the batch into G sub-batch chains driven
+        in lockstep, so sub-batch g's host rANS + transfers overlap
+        sub-batch g+1's device stats — intra-batch latency hiding on top
+        of PipelinedCodec's cross-batch overlap.  Each sub-batch size
+        compiles its own slice executables (one-time per serving
+        process); results are identical, streams untouched.
+
+        device=True returns the reconstruction as a device array (no host
+        fetch) so callers can keep post-processing on-chip — the container
+        uses this to chain mask-decode -> constraint -> RGB gating without
+        host round trips.
+
+        max_slices=k (progressive preview, 0 <= k <= num_slices) decodes
+        only the first k latent slices from the stream and completes the
+        rest with the prior's means (symbol 0) in one fused dispatch — a
+        preview costs k+2 device dispatches instead of num_slices+1 and
+        skips the tail's rANS work entirely.  The channel-AR chain is
+        causal, so the k decoded slices are bit-identical to a full
+        decode; quality degrades gracefully as k shrinks (the slice
+        ordering makes early slices the most informative — the same
+        structure the reference's max_support_slices=5 exploits).  The
+        stream itself is untouched: ONE encoded blob serves every preview
+        level.  return_latent=True additionally returns y_hat (used by
+        tests to pin the causality guarantee).
+
+        For rate-gated streams the gate the ENCODER used must be supplied:
+        either per-stream (compressed[b]["gate"], how the container ships
+        it) or it is re-derived from `mask` — the fallback is only safe
+        when this process also produced the streams (re-deriving from an
+        alpha decoded by a differently-compiled executable could flip an
+        8-bit-boundary pixel and desync the rANS stream)."""
+        rg = self.rate_gate if rate_gate is None else (
+            bool(rate_gate) and self.kind == "rgb")
+        batch = len(compressed)
+        compressed = list(compressed)
+        md = mask_pyramid(jnp.asarray(mask)) if self.kind == "rgb" else None
+        gate_host = None
+        if rg:
+            if all("gate" in c for c in compressed):
+                gate_host = np.stack([np.asarray(c["gate"]) for c in
+                                      compressed])
+            else:
+                gate_host = np.asarray(jax.device_get(md[2])) > 0
+
+        groups = [slice(0, batch)]
+        if interleave > 1 and batch >= 2:
+            bb = np.linspace(0, batch, min(int(interleave), batch) + 1)
+            bb = bb.astype(int)
+            groups = [slice(int(a), int(b))
+                      for a, b in zip(bb[:-1], bb[1:]) if b > a]
+        parts = drive_chains([
+            self.decompress_chain(
+                compressed[g],
+                gate_host=None if gate_host is None else gate_host[g],
+                max_slices=max_slices)
+            for g in groups])
+        y_hat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
         if self.kind == "rgb":
             x_hat = self._decode_image_fn(self.params, y_hat, md[1], md[2])
