@@ -121,8 +121,9 @@ def _group_by(keys_items):
 
 
 def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False, rate_gate=False,
-                deadzone=0.0):
+                deadzone=0.0, bucket_waste=0.3):
     from PIL import Image
+    from ..eval.buckets import choose_buckets, pad_batch
     from ..eval.pipeline import PipelinedCodec
     paths = sorted(glob.glob(os.path.join(src_dir, "*.png")))
     if not paths:
@@ -131,10 +132,18 @@ def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False, rate_gate=False,
     # group by size WITHOUT decoding pixels (PIL reads only the header);
     # pixels load lazily per chunk, bounding memory at depth*batch images
     groups = _group_by(((Image.open(p).size[::-1], p) for p in paths))
+    # shape-bucket ladder: each size group still encodes as its own batch
+    # (the container header carries one (h, w) per batch) but padded to a
+    # shared bucket canvas, so the EXPENSIVE executables (transforms +
+    # slice chains, keyed by padded shape x batch) compile O(#buckets)
+    # times instead of O(#distinct sizes).  Ragged tails repeat the last
+    # image up to the fixed batch size for the same reason.  bbox mode is
+    # incompatible (the crop shape is data-dependent per batch).
+    buckets = None if bbox else choose_buckets(groups, max_waste=bucket_waste)
     pipe = PipelinedCodec(codec, depth=2)
     total_in = total_out = 0
-    for _, ps in groups.items():
-        chunks = [ps[i:i + batch] for i in range(0, len(ps), batch)]
+    for size, ps in groups.items():
+        chunks, real = pad_batch(ps, batch)
 
         def feeds(chunks=chunks):
             for ch in chunks:
@@ -142,11 +151,13 @@ def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False, rate_gate=False,
                 yield (np.concatenate([r for r, _ in pairs]),
                        np.concatenate([a for _, a in pairs]))
 
-        for ch, blobs in zip(chunks,
-                              pipe.encode_stream(feeds(), bbox=bbox,
-                                                 rate_gate=rate_gate,
-                                                 deadzone=deadzone)):
-            for p, blob in zip(ch, blobs):
+        for ch, n, blobs in zip(
+                chunks, real,
+                pipe.encode_stream(feeds(), bbox=bbox, rate_gate=rate_gate,
+                                   deadzone=deadzone,
+                                   bucket=None if buckets is None
+                                   else buckets[size])):
+            for p, blob in zip(ch[:n], blobs[:n]):
                 dst = os.path.join(
                     dst_dir,
                     os.path.splitext(os.path.basename(p))[0] + ".rgbc")
@@ -154,11 +165,15 @@ def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False, rate_gate=False,
                     f.write(blob)
                 total_in += os.path.getsize(p)
                 total_out += len(blob)
+    if buckets is not None:
+        n_buckets = len(set(buckets.values()))
+        print(f"{len(groups)} distinct sizes -> {n_buckets} bucket "
+              f"canvas(es)")
     print(f"{len(paths)} images -> {dst_dir}: {total_out} bytes "
           f"({total_in / max(total_out, 1):.1f}x vs source files)")
 
 
-def _decode_dir(codec, src_dir, dst_dir, batch):
+def _decode_dir(codec, src_dir, dst_dir, batch, interleave=1):
     from ..eval.container import unpack_rgba
     from ..eval.pipeline import PipelinedCodec
     paths = sorted(glob.glob(os.path.join(src_dir, "*.rgbc")))
@@ -175,16 +190,28 @@ def _decode_dir(codec, src_dir, dst_dir, batch):
             raise SystemExit(
                 f"{p}: legacy trailer format — decode it with the "
                 f"single-file `decode` command")
-        items.append(((meta["height"], meta["width"], meta["crop"]),
+        # the group key is everything decode_batch requires to agree
+        # across a batch: original dims, BOTH z-latent canvases (bucketed
+        # blobs share them across different originals, but not vice
+        # versa), the rate-gate flag, and crop placement
+        items.append(((meta["height"], meta["width"],
+                       meta["rgb"]["shape"],
+                       None if meta["mask"] is None else meta["mask"]["shape"],
+                       meta["rate_gated"], meta["crop"]),
                       (blob, p)))
     groups = _group_by(items)
     pipe = PipelinedCodec(codec, depth=2)
     n = 0
     for _, items in groups.items():
-        chunks = [items[i:i + batch] for i in range(0, len(items), batch)]
+        from ..eval.buckets import pad_batch
+        # ragged tails repeat the last blob to keep the batch size (and
+        # thus the compiled slice executables) fixed; repeats are dropped
+        chunks, real = pad_batch(items, batch)
         feeds = ([c[0] for c in ch] for ch in chunks)
-        for ch, rgba in zip(chunks, pipe.decode_stream(feeds)):
-            for (_, p), img in zip(ch, rgba):
+        for ch, k, rgba in zip(chunks, real,
+                               pipe.decode_stream(feeds,
+                                                  interleave=interleave)):
+            for (_, p), img in zip(ch[:k], rgba[:k]):
                 dst = os.path.join(
                     dst_dir,
                     os.path.splitext(os.path.basename(p))[0] + ".png")
@@ -217,6 +244,20 @@ def main(argv=None):
                         "(runtime rate control from one model: more "
                         "deadzone = fewer bits, lower PSNR; streams stay "
                         "decoder-compatible). Try 0.1-0.4")
+    p.add_argument("--bucket-waste", type=float, default=0.3,
+                   help="encode-dir shape-bucket ladder: fold a size into "
+                        "a larger bucket canvas when the extra transparent-"
+                        "padded area stays within this fraction (compiles "
+                        "O(#buckets) executables instead of one set per "
+                        "distinct size; pairs well with --rate-gate, which "
+                        "codes the padding for free). 0 = exact /64 "
+                        "padding only")
+    p.add_argument("--interleave", type=int, default=1,
+                   help="decode-dir: split each batch into this many "
+                        "sub-chains driven together, hiding one chain's "
+                        "host rANS under another's device dispatches "
+                        "(bit-identical to serial; each sub-batch size "
+                        "compiles its own slice executables once)")
     p.add_argument("--preview-slices", type=int, default=None,
                    help="decode only the first K of the 10 RGB latent "
                         "slices and mean-fill the rest — a fast "
@@ -230,6 +271,10 @@ def main(argv=None):
         if not 0 <= args.preview_slices <= 10:
             p.error("--preview-slices must be in [0, 10] "
                     f"(got {args.preview_slices})")
+    if args.interleave != 1 and args.command != "decode-dir":
+        p.error("--interleave only applies to the `decode-dir` command")
+    if args.interleave < 1:
+        p.error(f"--interleave must be >= 1 (got {args.interleave})")
 
     codec = _load_codecs(args.rgb_model, args.mask_model)
 
@@ -242,9 +287,10 @@ def main(argv=None):
     elif args.command == "encode-dir":
         _encode_dir(codec, args.input, args.output, args.batch,
                     bbox=args.bbox, rate_gate=args.rate_gate,
-                    deadzone=args.deadzone)
+                    deadzone=args.deadzone, bucket_waste=args.bucket_waste)
     else:
-        _decode_dir(codec, args.input, args.output, args.batch)
+        _decode_dir(codec, args.input, args.output, args.batch,
+                    interleave=args.interleave)
 
 
 if __name__ == "__main__":

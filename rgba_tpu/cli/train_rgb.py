@@ -58,9 +58,13 @@ def main(argv=None):
         state = trainer.init_state(example)
         params, step = load_params_if(args.pretrain,
                                       jax.device_get(state.params))
+        # reference eval-time curriculum (trainRGB.py:277-296): while the
+        # checkpoint step is inside the full-image phase, eval unmasked
+        # against an all-ones mask (the real-codec path has no such branch)
+        cur = step < cfg.curriculum_step and not args.real_codec
         evaluate_kodak(model, params, mask_model, mask_params, args.kodak,
                        output_dir="outputKodak", step=step,
-                       real_codec=args.real_codec)
+                       real_codec=args.real_codec, curriculum=cur)
         return
 
     ds = RGBATrainDataset(args.train_coco, args.train_p3m,
@@ -83,7 +87,7 @@ def main(argv=None):
     def eval_fn(step, st):
         evaluate_kodak(model, st.params, mask_model, mask_params,
                        args.kodak, output_dir="outputKodak", step=step,
-                       tb_writer=tb)
+                       tb_writer=tb, curriculum=step < cfg.curriculum_step)
 
     eval_hook = eval_fn if os.path.isdir(
         os.path.join(args.kodak, "PNGImages")) else None

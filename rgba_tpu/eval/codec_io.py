@@ -22,6 +22,10 @@ Two serving-oriented upgrades over the reference's per-image serial loop
      i's bytes) is paid once per slice for the whole batch, and the B
      independent rANS streams are coded on host threads (the ctypes calls
      release the GIL).
+  3. The decode TAIL is PARALLEL: with max_support_slices=5, slices 5..9
+     all condition on exactly slices 0..4, so one stats pass + one index
+     fetch covers the whole tail (6 round trips instead of 10 for the RGB
+     codec; see decompress_chain(tail_parallel=...)).
 """
 
 from __future__ import annotations
@@ -79,6 +83,11 @@ class CodecIO:
         self.params = params
         self.kind = kind
         self.num_slices = 10 if kind == "rgb" else 5
+        # channel-AR support truncation (ChannelARPrior.max_support_slices,
+        # reference AutoEncoderRGB_Journal.py:245): slices >= max_support
+        # all condition on exactly the first max_support decoded slices,
+        # which makes the decode TAIL parallel (see _tail_stats_fn)
+        self.max_support = 5
         # alpha-rate gating (rgb only): latent cells whose /8 pool of the
         # recon alpha is exactly 0 are never entropy-coded — the decoder
         # derives the same gate from the same decoded alpha and fills
@@ -241,6 +250,68 @@ class CodecIO:
                 return model.apply({"params": params}, method=inner)
             fns.append(jax.jit(run))
         return fns
+
+    @functools.cached_property
+    def _tail_stats_fn(self):
+        """Finish slice S-1 (S = max_support) AND produce (mu, index) for
+        EVERY remaining slice in one dispatch.  The channel-AR support is
+        truncated to the first S decoded slices (reference support slicing
+        at AutoEncoderRGB_Journal.py:245), so slices S..n-1 do not feed
+        each other's stats — the strictly sequential part of the decode is
+        only slices 0..S-1.  For the RGB codec (n=10, S=5) this cuts the
+        per-batch index round trips from 10 to 6; the mask codec (n=S=5)
+        has no tail and keeps the serial chain."""
+        model = self.model
+        S, n = self.max_support, self.num_slices
+
+        def run(params, lm, ls, sym_prev, mu_prev, *support):
+            def inner(m):
+                h, w = lm.shape[1], lm.shape[2]
+                sup = list(support)
+                y_prev = sym_prev.astype(jnp.float32) + mu_prev
+                y_prev = y_prev + m.prior.slice_lrp(lm, sup[:S], y_prev,
+                                                    S - 1)
+                sup.append(y_prev)
+                mus, idxs = [], []
+                for i in range(S, n):
+                    mu, scale = m.prior.slice_stats(lm, ls, sup[:S], i,
+                                                    (h, w))
+                    mus.append(mu)
+                    idxs.append(
+                        self.gc.build_indexes(scale).astype(jnp.uint8))
+                return y_prev, jnp.stack(mus), jnp.stack(idxs)
+            return model.apply({"params": params}, method=inner)
+
+        return jax.jit(run)
+
+    def _tail_assemble_fn(self, t: int):
+        """Finish tail slices S..S+t-1 from their decoded symbols and
+        mean-fill S+t..n-1 (progressive preview), one dispatch — the mu
+        for every tail slice was already produced by _tail_stats_fn."""
+        key = ("asm", t)
+        with self._variant_lock:
+            fn = self._tail_fns.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        S, n = self.max_support, self.num_slices
+
+        def run(params, lm, syms_tail, mu_tail, *support):
+            def inner(m):
+                sup = list(support)[:S]
+                outs = []
+                for j in range(n - S):
+                    mu = mu_tail[j]
+                    y = syms_tail[j].astype(jnp.float32) + mu if j < t \
+                        else mu
+                    y = y + m.prior.slice_lrp(lm, sup, y, S + j)
+                    outs.append(y)
+                return jnp.concatenate(outs, axis=-1)
+            return model.apply({"params": params}, method=inner)
+
+        fn = jax.jit(run)
+        with self._variant_lock:
+            return self._tail_fns.setdefault(key, fn)
 
     @functools.cached_property
     def _last_finish_fn(self):
@@ -422,7 +493,8 @@ class CodecIO:
 
     def decompress_chain(self, compressed: Sequence[dict],
                          gate_host: Optional[np.ndarray] = None,
-                         max_slices: Optional[int] = None):
+                         max_slices: Optional[int] = None,
+                         tail_parallel: bool = True):
         """Generator form of the decode slice loop: decodes the latent
         y_hat for a batch of same-shaped streams, yielding right after
         each device dispatch so a driver (``drive_chains``) can interleave
@@ -436,7 +508,16 @@ class CodecIO:
         gate_host: (B, lh, lw, 1) bool alive bitmap for rate-gated
         streams — the encoder's exact gate (container section 5).
         Returns the device-resident y_hat via the generator return value
-        (``StopIteration.value``)."""
+        (``StopIteration.value``).
+
+        tail_parallel=True (default) decodes slices >= max_support in one
+        round trip: their stats condition only on the first max_support
+        decoded slices (_tail_stats_fn), so the host fetches ONE stacked
+        index array and rANS-decodes the whole tail back-to-back.  Streams
+        and symbols are untouched — only the number of host<->device round
+        trips changes (10 -> 6 for the RGB codec).  tail_parallel=False
+        keeps the per-slice serial chain (tests pin bit-identical y_hat
+        between the two)."""
         k = self.num_slices if max_slices is None else max(
             0, min(int(max_slices), self.num_slices))
         batch = len(compressed)
@@ -479,9 +560,16 @@ class CodecIO:
                 dec.close()
             yield
             return y_hat
+        # tail split: slices 0..serial-1 decode through the strictly
+        # sequential chain; the remaining `tail` slices (if any) decode
+        # from one batched stats pass (support truncation, _tail_stats_fn)
+        tail = k - self.max_support if (tail_parallel and
+                                        k > self.max_support) else 0
+        serial = k - tail
+        mu_tail = idx_tail = None
         mu, index = self._first_stats_fn(self.params, lm, ls)
         yield  # hyper decode + slice-0 stats enqueued; let siblings run
-        for i in range(k):
+        for i in range(serial):
             # uint8 down, int16 up — the tunnel pays per byte
             idx_np = jax.device_get(index).astype(np.int32)
             if gate_host is not None and alives[0] is None:
@@ -494,8 +582,12 @@ class CodecIO:
                 [(decoders[b], idx_np[b:b + 1], alives[b])
                  for b in range(batch)]))
             sym_dev = jnp.asarray(np.concatenate(syms).astype(np.int16))
-            if i + 1 < k:
+            if i + 1 < serial:
                 y_prev, mu, index = self._step_fns[i + 1](
+                    self.params, lm, ls, sym_dev, mu, *y_hats)
+                y_hats.append(y_prev)
+            elif tail:
+                y_prev, mu_tail, idx_tail = self._tail_stats_fn(
                     self.params, lm, ls, sym_dev, mu, *y_hats)
                 y_hats.append(y_prev)
             elif k < self.num_slices:
@@ -504,10 +596,60 @@ class CodecIO:
             else:
                 y_hats.append(self._last_finish_fn(
                     self.params, lm, sym_dev, mu, *y_hats))
-            yield  # slice i finished + slice i+1 stats enqueued
+            yield  # slice i finished + next stats enqueued
+        if tail:
+            # ONE fetch for every tail slice's indexes, then each image's
+            # stream decodes its whole tail back-to-back on a host thread
+            idxs_np = jax.device_get(idx_tail).astype(np.int32)
+
+            def decode_tail(b):
+                return np.stack([
+                    decode_slice((decoders[b], idxs_np[j, b:b + 1],
+                                  alives[b])) for j in range(tail)])
+
+            syms = list(self._pool.map(decode_tail, range(batch)))
+            sym_dev = jnp.asarray(
+                np.concatenate(syms, axis=1).astype(np.int16))
+            y_hats.append(self._tail_assemble_fn(tail)(
+                self.params, lm, sym_dev, mu_tail, *y_hats))
+            yield  # tail finished in one dispatch
         for dec in decoders:
             dec.close()
         return jnp.concatenate(y_hats, axis=-1)
+
+    def decompress_chains(self, compressed: Sequence[dict],
+                          gate_host: Optional[np.ndarray] = None,
+                          max_slices: Optional[int] = None,
+                          interleave: int = 1,
+                          tail_parallel: bool = True) -> List:
+        """Split `compressed` into up to `interleave` contiguous sub-batch
+        groups and return one decompress_chain per group (callers
+        concatenate the chain results in order to recover the batch).
+        The container uses this to put the RGB codec's chains and the mask
+        codec's chain under one ``drive_chains`` loop."""
+        batch = len(compressed)
+        groups = [slice(0, batch)]
+        if interleave > 1 and batch >= 2:
+            bb = np.linspace(0, batch, min(int(interleave), batch) + 1)
+            bb = bb.astype(int)
+            groups = [slice(int(a), int(b))
+                      for a, b in zip(bb[:-1], bb[1:]) if b > a]
+        return [self.decompress_chain(
+                    list(compressed[g]),
+                    gate_host=None if gate_host is None else gate_host[g],
+                    max_slices=max_slices, tail_parallel=tail_parallel)
+                for g in groups]
+
+    def decode_image(self, y_hat, mask=None, device: bool = False):
+        """Finish a decode from the latent a decompress_chain returned:
+        synthesis transform (+ mask-pyramid gating for the RGB codec),
+        clipped to [0, 1].  device=True keeps the result on-chip."""
+        if self.kind == "rgb":
+            md = mask_pyramid(jnp.asarray(mask))
+            x_hat = self._decode_image_fn(self.params, y_hat, md[1], md[2])
+        else:
+            x_hat = self._decode_image_fn(self.params, y_hat)
+        return x_hat if device else np.asarray(jax.device_get(x_hat))
 
     def decompress_batch(self, compressed: Sequence[dict],
                          mask: Optional[np.ndarray] = None,
@@ -516,6 +658,7 @@ class CodecIO:
                          max_slices: Optional[int] = None,
                          return_latent: bool = False,
                          interleave: int = 1,
+                         tail_parallel: bool = True,
                          ) -> "np.ndarray | jax.Array | tuple":
         """Batched decompress of same-shaped streams. The slice loop runs
         once for the whole batch: one fused device dispatch + one index
@@ -554,35 +697,21 @@ class CodecIO:
         8-bit-boundary pixel and desync the rANS stream)."""
         rg = self.rate_gate if rate_gate is None else (
             bool(rate_gate) and self.kind == "rgb")
-        batch = len(compressed)
         compressed = list(compressed)
-        md = mask_pyramid(jnp.asarray(mask)) if self.kind == "rgb" else None
         gate_host = None
         if rg:
             if all("gate" in c for c in compressed):
                 gate_host = np.stack([np.asarray(c["gate"]) for c in
                                       compressed])
             else:
-                gate_host = np.asarray(jax.device_get(md[2])) > 0
+                gate_host = np.asarray(
+                    jax.device_get(mask_pyramid(jnp.asarray(mask))[2])) > 0
 
-        groups = [slice(0, batch)]
-        if interleave > 1 and batch >= 2:
-            bb = np.linspace(0, batch, min(int(interleave), batch) + 1)
-            bb = bb.astype(int)
-            groups = [slice(int(a), int(b))
-                      for a, b in zip(bb[:-1], bb[1:]) if b > a]
-        parts = drive_chains([
-            self.decompress_chain(
-                compressed[g],
-                gate_host=None if gate_host is None else gate_host[g],
-                max_slices=max_slices)
-            for g in groups])
+        parts = drive_chains(self.decompress_chains(
+            compressed, gate_host=gate_host, max_slices=max_slices,
+            interleave=interleave, tail_parallel=tail_parallel))
         y_hat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
-
-        if self.kind == "rgb":
-            x_hat = self._decode_image_fn(self.params, y_hat, md[1], md[2])
-        else:
-            x_hat = self._decode_image_fn(self.params, y_hat)
+        x_hat = self.decode_image(y_hat, mask=mask, device=True)
         if not device:
             x_hat = np.asarray(jax.device_get(x_hat))
             if return_latent:

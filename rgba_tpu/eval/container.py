@@ -160,7 +160,8 @@ class RGBAFileCodec:
 
     def encode_batch(self, images: np.ndarray, alphas: np.ndarray,
                      bbox: bool = False, rate_gate: bool = False,
-                     deadzone: float = 0.0) -> list[bytes]:
+                     deadzone: float = 0.0,
+                     bucket: tuple[int, int] | None = None) -> list[bytes]:
         """Compress B same-shaped RGBA images in one batched device pass
         per stage (the per-slice autoregression cost is paid once for the
         whole batch). Returns one container blob per image.
@@ -184,7 +185,14 @@ class RGBAFileCodec:
         transparent regions (container header bit2; decoder re-derives
         the gate).  deadzone>0 widens the RGB quantizer's zero bin —
         runtime rate/quality control from ONE trained model, no header
-        flag needed (the stream stays decoder-compatible)."""
+        flag needed (the stream stays decoder-compatible).
+
+        bucket=(bh, bw) pads to that /64-aligned canvas instead of the
+        minimal one (eval/buckets.py shape-bucket ladder: mixed-size
+        directories compile O(#buckets) executables instead of one set
+        per distinct shape).  Format-free: the header keeps the original
+        (h, w) and decode derives the canvas from the z-latent shape, so
+        bucketed and minimal blobs are the same container version."""
         import jax.numpy as jnp
         from ..ops.morphology import constraint_rgb
 
@@ -213,6 +221,13 @@ class RGBAFileCodec:
         # calls for explicit pad/crop).  alpha pads with 0 = transparent,
         # which the masked codecs handle natively; decode crops back.
         hp, wp = -(-h // 64) * 64, -(-w // 64) * 64
+        if bucket is not None:
+            bh, bw = int(bucket[0]), int(bucket[1])
+            if bh < hp or bw < wp or bh % 64 or bw % 64:
+                raise ValueError(
+                    f"bucket {bucket} must be /64-aligned and cover the "
+                    f"minimal padded canvas {(hp, wp)}")
+            hp, wp = bh, bw
         if (hp, wp) != (h, w):
             pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
             images = np.pad(images, pad)
@@ -257,8 +272,21 @@ class RGBAFileCodec:
 
     def decode_batch(self, blobs: list[bytes],
                      output: str = "float32",
-                     max_slices: int | None = None) -> np.ndarray:
+                     max_slices: int | None = None,
+                     interleave: int = 1) -> np.ndarray:
         """Decode B same-shaped container blobs; returns (B, H, W, 4).
+
+        The two codecs' slice chains are driven TOGETHER (drive_chains):
+        the mask codec's 5-slice chain is independent of the RGB codec's
+        10-slice chain until the final image decode (the gate ships in the
+        blob; only the synthesis transform needs the reconstructed mask),
+        so the mask chain's host rANS + index fetches hide under the RGB
+        chain's device dispatches and vice versa.  Bit-identical to serial
+        driving — interleaving only reorders when independent programs are
+        enqueued on the single device stream.  interleave=G>1 additionally
+        splits the RGB batch into G sub-chains (see
+        CodecIO.decompress_batch; each sub-batch size compiles its own
+        slice executables once per process).
 
         output="uint8" fetches the 8-bit quantized RGBA (the PNG-writing
         contract of the reference eval, trainRGB.py:300-311) — a quarter
@@ -272,7 +300,9 @@ class RGBAFileCodec:
         in full: it is tiny, and the RGB gating must see the exact
         reconstructed mask the encoder used."""
         import jax.numpy as jnp
+
         from ..ops.morphology import constraint_rgb
+        from .codec_io import drive_chains
 
         metas = [unpack_rgba(blob) for blob in blobs]
         h, w = metas[0]["height"], metas[0]["width"]
@@ -294,10 +324,24 @@ class RGBAFileCodec:
             m = jnp.zeros((b, hp, wp, 1), jnp.float32)
             return m.at[:, :h, :w].set(1.0)
 
+        # rate-gated blobs always carry the encoder's exact gate bitmap
+        # (container section 5) — never re-derive it from the decoded mask
+        gate_host = np.stack([m["rgb"]["gate"] for m in metas]) \
+            if rate_gated else None
+        rgb_chains = self.rgb_io.decompress_chains(
+            [m["rgb"] for m in metas], gate_host=gate_host,
+            max_slices=max_slices, interleave=interleave)
+        n_rgb = len(rgb_chains)
+
         with_mask = [i for i, m in enumerate(metas) if m["mask"] is not None]
+        chains = rgb_chains + (
+            [self.mask_io.decompress_chain(
+                [metas[i]["mask"] for i in with_mask])] if with_mask else [])
+        outs = drive_chains(chains)
+        y_rgb = outs[0] if n_rgb == 1 else jnp.concatenate(outs[:n_rgb], 0)
+
         if with_mask:
-            rm_sub = self.mask_io.decompress_batch(
-                [metas[i]["mask"] for i in with_mask], device=True)
+            rm_sub = self.mask_io.decode_image(outs[n_rgb], device=True)
 
             def scatter_mask(rm_s):
                 rm_s = jnp.round(jnp.clip(rm_s, 0, 1) * 255.0) / 255.0
@@ -310,10 +354,7 @@ class RGBAFileCodec:
         else:
             recon_mask = self._jit(f"dec_base{(b, h, w, hp, wp)}",
                                    base_mask)()
-        rgb = self.rgb_io.decompress_batch([m["rgb"] for m in metas],
-                                           mask=recon_mask, device=True,
-                                           rate_gate=rate_gated,
-                                           max_slices=max_slices)
+        rgb = self.rgb_io.decode_image(y_rgb, mask=recon_mask, device=True)
 
         if output == "uint8":
             pack = self._jit(f"pack_u8{(h, w)}", lambda x, m: jnp.round(

@@ -69,11 +69,23 @@ def make_eval_step(rgb_model, mask_model):
 def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
                    rootpath: str, output_dir: Optional[str] = None,
                    step: int = 0, tb_writer=None,
-                   real_codec: bool = False) -> dict:
+                   real_codec: bool = False,
+                   curriculum: bool = False) -> dict:
     """real_codec=True additionally runs the actual rANS bitstream per
     image (mask + RGB streams via the container format) and reports the
     byte-accurate bpp alongside the likelihood-estimated one (the
-    reference can only estimate, SURVEY §3.4)."""
+    reference can only estimate, SURVEY §3.4).
+
+    curriculum=True reproduces the reference's eval-time curriculum
+    branch (trainRGB.py:277-296): the full UNMASKED image is evaluated
+    against an all-ones mask (so the mask codec still runs, but its bpp
+    is excluded by the opaque rule and the saved PNG is RGB, no alpha).
+    The reference applies it whenever global_step < 500k; the CLI driver
+    derives it from the checkpoint step the same way.  Incompatible with
+    real_codec (the container always codes the true alpha)."""
+    if curriculum and real_codec:
+        raise ValueError("real_codec has no curriculum analog: the "
+                         "container always codes the true alpha")
     ds = KodakDataset(rootpath)
     eval_step = make_eval_step(rgb_model, mask_model)
     codec = None
@@ -98,8 +110,12 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
     n = len(ds)
     for i in range(n):
         item = ds.get(i)
-        masked_input = jnp.asarray(item["masked_image"][None])
-        mask = jnp.asarray(item["alpha"][None])
+        if curriculum:
+            masked_input = jnp.asarray(item["image"][None])
+            mask = jnp.ones((1,) + item["alpha"].shape, jnp.float32)
+        else:
+            masked_input = jnp.asarray(item["masked_image"][None])
+            mask = jnp.asarray(item["alpha"][None])
         t0 = time.perf_counter()
         out = eval_step(rgb_params, mask_params, masked_input, mask)
         out = jax.device_get(out)
@@ -153,7 +169,8 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             _save_rgba(os.path.join(output_dir, f"{i + 1}img.png"),
-                       out["x_hat"][0], out["recon_mask"][0])
+                       out["x_hat"][0],
+                       None if curriculum else out["recon_mask"][0])
 
     avg = {k: v / max(n, 1) for k, v in sums.items()}
     if not real_codec:

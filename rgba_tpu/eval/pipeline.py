@@ -55,11 +55,12 @@ class PipelinedCodec:
                              lambda ba: self.codec.encode_batch(*ba, **kw))
 
     def decode_stream(self, blob_batches: Iterable[Sequence[bytes]],
-                      output: str = "float32") -> Iterator[np.ndarray]:
-        """blob_batches: iterable of blob lists. Yields (B,H,W,4) arrays."""
+                      output: str = "float32", **kw) -> Iterator[np.ndarray]:
+        """blob_batches: iterable of blob lists. Yields (B,H,W,4) arrays.
+        Extra kwargs (e.g. interleave=2) pass through to decode_batch."""
         yield from self._run(blob_batches,
                              lambda bl: self.codec.decode_batch(
-                                 list(bl), output=output))
+                                 list(bl), output=output, **kw))
 
     def roundtrip_stream(self, batches: Iterable[tuple],
                          output: str = "float32") -> Iterator[tuple]:

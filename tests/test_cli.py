@@ -100,6 +100,11 @@ def test_codec_cli_preview_slices_validation(capsys):
         with pytest.raises(SystemExit):
             codec.main(argv)
         assert "--preview-slices" in capsys.readouterr().err
+    for argv in (["decode", "a", "b", "--interleave", "2"],
+                 ["decode-dir", "a", "b", "--interleave", "0"]):
+        with pytest.raises(SystemExit):
+            codec.main(argv)
+        assert "--interleave" in capsys.readouterr().err
 
 
 def test_codec_cli_legacy_trailer(tmp_path):
@@ -163,3 +168,11 @@ def test_codec_cli_dir_modes(tmp_path):
     codec.main(["decode", str(enc / "im3.rgbc"), str(one)])
     np.testing.assert_array_equal(np.asarray(Image.open(one)),
                                   np.asarray(Image.open(rec / "im3.png")))
+    # sub-batch chain interleave is bit-identical to the default decode
+    rec2 = tmp_path / "rec2"
+    codec.main(["decode-dir", str(enc), str(rec2), "-b", "2",
+                "--interleave", "2"])
+    for i in range(len(sizes)):
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(rec2 / f"im{i}.png")),
+            np.asarray(Image.open(rec / f"im{i}.png")), err_msg=str(i))

@@ -81,3 +81,36 @@ def test_rgb_codec_bitstream_rectangular():
     fwd = model.apply({"params": params}, x, mask, mask, me, training=False)
     np.testing.assert_allclose(recon, np.clip(np.asarray(fwd["x_hat"]), 0, 1),
                                atol=1e-5)
+
+
+def test_tail_parallel_decode_bit_identical():
+    """Tail-parallel decode (one stats pass + one index fetch for slices
+    >= max_support, possible because the channel-AR support truncates to
+    the first 5 decoded slices — AutoEncoderRGB_Journal.py:245) must be
+    BIT-identical to the serial per-slice chain: same streams, same
+    symbols, same y_hat and x_hat — only the round-trip count changes
+    (10 -> 6).  Covers plain, rate-gated, interleaved, and progressive
+    (max_slices straddling the tail) decodes."""
+    model = RGBCodec()
+    data = synthetic_rgba_batch(2, 64, 128, seed=7)
+    x = jnp.asarray(data["masked_image"])
+    mask = jnp.asarray(data["alpha"])
+    me = mask_pyramid(mask)
+    params = model.init({"params": KEY, "noise": KEY}, x[:1], mask[:1],
+                        mask[:1], mask_pyramid(mask[:1]),
+                        training=False)["params"]
+    io = CodecIO(model, params, kind="rgb")
+
+    for rg in (False, True):
+        comp = io.compress_batch(image=np.asarray(x), mask=np.asarray(mask),
+                                 rate_gate=rg)
+        for kw in ({}, {"interleave": 2}, {"max_slices": 7},
+                   {"max_slices": 5}, {"max_slices": 3}):
+            a, ya = io.decompress_batch(comp, mask=np.asarray(mask),
+                                        rate_gate=rg, return_latent=True,
+                                        tail_parallel=True, **kw)
+            b, yb = io.decompress_batch(comp, mask=np.asarray(mask),
+                                        rate_gate=rg, return_latent=True,
+                                        tail_parallel=False, **kw)
+            np.testing.assert_array_equal(ya, yb, err_msg=f"rg={rg} {kw}")
+            np.testing.assert_array_equal(a, b, err_msg=f"rg={rg} {kw}")

@@ -406,3 +406,61 @@ def test_rgba_file_codec_bbox_batch_union():
         out = np.ones((192, 192), bool)
         out[16:128, 32:160] = False
         np.testing.assert_array_equal(rgba[i][out], 0.0)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not rans.available(), reason="native rans not built")
+def test_decode_batch_chain_interleave_matches_serial():
+    """decode_batch drives the mask codec's 5-slice chain and the RGB
+    codec's 10-slice chains under ONE drive_chains loop (host rANS of one
+    chain hides under the other's device dispatches).  Interleaving must
+    be bit-identical to the serial order (mask decode fully, then RGB) —
+    it only reorders when independent programs are enqueued — including
+    with rate-gated streams and sub-batch interleave=2."""
+    import jax
+    import jax.numpy as jnp
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+
+    key = jax.random.PRNGKey(0)
+    mask_model, rgb_model = MaskCodec(), RGBCodec()
+    d = synthetic_rgba_batch(3, 64, 64, seed=11)
+    mask = jnp.asarray(d["alpha"][:1])
+    x = jnp.asarray(d["masked_image"][:1])
+    mask_params = mask_model.init({"params": key, "noise": key}, mask,
+                                  training=False)["params"]
+    rgb_params = rgb_model.init({"params": key, "noise": key}, x, mask,
+                                mask, mask_pyramid(mask),
+                                training=False)["params"]
+    rgb_io = CodecIO(rgb_model, rgb_params, kind="rgb")
+    mask_io = CodecIO(mask_model, mask_params, kind="mask")
+    codec = RGBAFileCodec(rgb_io, mask_io)
+
+    for rate_gate in (False, True):
+        blobs = codec.encode_batch(d["image"], d["alpha"],
+                                   rate_gate=rate_gate)
+        got = codec.decode_batch(blobs)
+        got2 = codec.decode_batch(blobs, interleave=2)
+
+        # serial oracle: the pre-interleave decode order, built from the
+        # same public pieces (mask stream fully decoded first, then RGB)
+        from rgba_tpu.eval.container import unpack_rgba
+        from rgba_tpu.ops.morphology import constraint_rgb
+        metas = [unpack_rgba(b) for b in blobs]
+        rm = mask_io.decompress_batch([m["mask"] for m in metas],
+                                      device=True)
+        rm = jnp.round(jnp.clip(rm, 0, 1) * 255.0) / 255.0
+        rm = constraint_rgb(rm)
+        rgb = rgb_io.decompress_batch(
+            [m["rgb"] for m in metas], mask=rm,
+            rate_gate=rate_gate, device=True)
+        h = metas[0]["height"]
+        w = metas[0]["width"]
+        oracle = np.asarray(jax.device_get(
+            jnp.concatenate([rgb[:, :h, :w], rm[:, :h, :w]], -1)))
+        np.testing.assert_array_equal(got, oracle)
+        np.testing.assert_array_equal(got2, oracle)

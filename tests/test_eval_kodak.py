@@ -76,6 +76,58 @@ def test_evaluate_kodak_real_codec():
         assert avg["codec_time"] > 0
 
 
+def test_evaluate_kodak_curriculum_branch():
+    """Reference eval-time curriculum (trainRGB.py:277-296): while
+    global_step < 500k, eval uses the full UNMASKED image with an
+    all-ones mask and writes an RGB (not RGBA) PNG.  Pinned by equality:
+    curriculum=True on a transparent tree must give identical metrics to
+    curriculum=False on the same images with the alpha overwritten to
+    fully opaque (then the two input pipelines coincide exactly)."""
+    import shutil
+    from PIL import Image
+    from rgba_tpu.eval.kodak import evaluate_kodak
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    with tempfile.TemporaryDirectory() as root:
+        tree = os.path.join(root, "tree")
+        write_synthetic_kodak_tree(tree, n_images=1, height=192, width=256)
+        opaque = os.path.join(root, "opaque")
+        shutil.copytree(tree, opaque)
+        for f in os.listdir(os.path.join(opaque, "MaskImages")):
+            p = os.path.join(opaque, "MaskImages", f)
+            Image.new("L", Image.open(p).size, 255).save(p)
+
+        mask_model = MaskCodec()
+        mask = jnp.zeros((1, 192, 256, 1))
+        mask_params = mask_model.init({"params": key, "noise": key}, mask,
+                                      training=False)["params"]
+        rgb_model = RGBCodec()
+        x = jnp.zeros((1, 192, 256, 3))
+        me = mask_pyramid(mask)
+        rgb_params = rgb_model.init({"params": key, "noise": key}, x, mask,
+                                    mask, me, training=False)["params"]
+
+        out_dir = os.path.join(root, "out")
+        a = evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
+                           tree, output_dir=out_dir, step=0,
+                           curriculum=True)
+        b = evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
+                           opaque, step=0, curriculum=False)
+        for k in ("bpp", "psnr", "msssim", "msssimdb"):
+            assert a[k] == pytest.approx(b[k], abs=1e-9), k
+        # opaque rule: mask bpp excluded (bpp == rgb-only bpp) is implied
+        # by the equality above; the saved PNG must be RGB, no alpha
+        img = Image.open(os.path.join(out_dir, "1img.png"))
+        assert img.mode == "RGB"
+        with pytest.raises(ValueError):
+            evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
+                           tree, step=0, curriculum=True, real_codec=True)
+
+
 def test_evaluate_kodak_end_to_end():
     from rgba_tpu.eval.kodak import evaluate_kodak
     from rgba_tpu.models.mask_codec import MaskCodec

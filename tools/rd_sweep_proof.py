@@ -93,7 +93,12 @@ def train_one(name, kind, lam, steps, outdir, distortion="mse"):
         tmpl = jax.device_get(trainer.init_state(example).params)
         params = load_checkpoint(tmpl, latest)
     example = {k: np.asarray(data[k][:cfg.batch_size]) for k in data}
+    # liveness prints bracketing the long remote compiles, so the
+    # watchdog (tools/watchdog.sh) can tell "compiling" from "wedged"
+    print(f"[{_ts()} {name}] data ready; init_state (compiles, minutes)",
+          flush=True)
     state = trainer.init_state(example, params=params, step=start)
+    print(f"[{_ts()} {name}] init done; compiling train step", flush=True)
     step_fn = trainer.compiled_step()
     rng = jax.random.PRNGKey(lam + start)
     idx_rng = np.random.RandomState(1000 + lam + start)
