@@ -40,13 +40,14 @@ def load_trained_params(lam):
                                  training=False)["params"]
     rgb_tmpl = RGBCodec().init({"params": key, "noise": key}, x0, m0, m0,
                                mask_pyramid(m0), training=False)["params"]
-    mask_ck = latest_checkpoint("/tmp/rd_sweep/mask_1024_ck")
-    rgb_ck = latest_checkpoint(f"/tmp/rd_sweep/rgb_{lam}_ck")
+    sweep_dir = os.environ.get("RD_SWEEP_DIR", "/root/repo/.rd_sweep")
+    mask_ck = latest_checkpoint(os.path.join(sweep_dir, "mask_ck"))
+    rgb_ck = latest_checkpoint(os.path.join(sweep_dir, f"rgb_{lam}_ck"))
     if mask_ck is None or rgb_ck is None:
         raise SystemExit(
-            "RD-sweep checkpoints not found under /tmp/rd_sweep — run "
-            "`python -u tools/rd_sweep_proof.py` first (they do not "
-            "survive /tmp wipes)")
+            f"RD-sweep checkpoints not found under {sweep_dir} — run "
+            "`python -u tools/rd_sweep_proof.py` first (or point "
+            "RD_SWEEP_DIR at the sweep's --outdir)")
     mask_params = load_checkpoint(jax.device_get(mask_tmpl), mask_ck)
     rgb_params = load_checkpoint(jax.device_get(rgb_tmpl), rgb_ck)
     return {"mask_codec": mask_params, "rgb_codec": rgb_params}
