@@ -45,6 +45,7 @@ def measure_codec() -> dict:
     from rgba_tpu.models.mask_codec import MaskCodec
     from rgba_tpu.models.rgb_codec import RGBCodec
     from rgba_tpu.ops.mask_pyramid import mask_pyramid
+    from rgba_tpu.utils.init import cpu_init
 
     height, width = 512, 768
     iters = int(os.environ.get("BENCH_ITERS", "4"))
@@ -59,13 +60,18 @@ def measure_codec() -> dict:
     rgb_model = RGBCodec()
     datas = [synthetic_rgba_batch(batch, height, width, seed=s)
              for s in range(max(iters, 2))]
-    mask0 = jnp.asarray(datas[0]["alpha"][:1])
-    x0 = jnp.asarray(datas[0]["masked_image"][:1])
-    me = mask_pyramid(mask0)
-    mask_params = mask_model.init({"params": rng, "noise": rng}, mask0,
-                                  training=False)["params"]
-    rgb_params = rgb_model.init({"params": rng, "noise": rng}, x0, mask0,
-                                mask0, me, training=False)["params"]
+    mask0 = datas[0]["alpha"][:1]
+    x0 = datas[0]["masked_image"][:1]
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me = mask_pyramid(jnp.asarray(mask0))
+    # host-CPU init + one transfer: eager on-device init pays a remote
+    # compile per primitive through the tunnel (utils/init.py)
+    mask_params = jax.device_put(cpu_init(
+        mask_model, {"params": rng, "noise": rng}, mask0,
+        training=False)["params"])
+    rgb_params = jax.device_put(cpu_init(
+        rgb_model, {"params": rng, "noise": rng}, x0, mask0,
+        mask0, me, training=False)["params"])
     codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
                           CodecIO(mask_model, mask_params, kind="mask"))
 
@@ -116,6 +122,7 @@ def measure_forward() -> dict:
     from rgba_tpu.core.precision import policy_from_str
     from rgba_tpu.data.synthetic import synthetic_rgba_batch
     from rgba_tpu.models.pipeline import RGBAPipeline
+    from rgba_tpu.utils.init import cpu_init
 
     # throughput metric: batch 16 is the serving sweet spot measured on
     # v5e (39.6 img/s vs 30.7 at batch 4); override with BENCH_BATCH
@@ -134,8 +141,11 @@ def measure_forward() -> dict:
     masks = [jnp.asarray(d["alpha"]) for d in datas]
 
     rng = jax.random.PRNGKey(0)
-    params = model.init({"params": rng, "noise": rng}, xs[0][:1],
-                        masks[0][:1], training=False)["params"]
+    # init via a default-policy twin: the param tree is policy-independent
+    # and the fused-kernel routing would lower Mosaic on the CPU backend
+    params = jax.device_put(cpu_init(
+        RGBAPipeline(), {"params": rng, "noise": rng}, xs[0][:1],
+        masks[0][:1], training=False)["params"])
 
     @jax.jit
     def eval_step(p, x, mask):

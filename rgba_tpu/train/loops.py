@@ -109,11 +109,24 @@ class Trainer:
 
     def init_state(self, example_batch, seed: Optional[int] = None,
                    params=None, step: int = 0) -> CodecTrainState:
-        if params is None:
-            rng = jax.random.PRNGKey(seed if seed is not None else self.cfg.seed)
-            init_batch = {k: jnp.asarray(v[:1]) for k, v in example_batch.items()}
-            params = self._init_params(rng, init_batch)
-        state = make_train_state(self.cfg, params, step=step)
+        # Build the whole state on the LOCAL CPU backend: un-jitted flax
+        # init (and optax's per-leaf zeros_like) runs one primitive at a
+        # time, and through the axon tunnel each eager primitive pays a
+        # remote compile — the RGB codec's init silently stalls 40+ min
+        # on-device vs seconds on host, with bit-identical params
+        # (utils/init.py).  The tree moves to the device once, below.
+        cpu = jax.local_devices(backend="cpu")[0]
+        params = jax.tree_util.tree_map(
+            lambda a: np.asarray(jax.device_get(a)), params)
+        with jax.default_device(cpu):
+            if params is None:
+                rng = jax.random.PRNGKey(
+                    seed if seed is not None else self.cfg.seed)
+                init_batch = {
+                    k: jnp.asarray(np.asarray(jax.device_get(v[:1])))
+                    for k, v in example_batch.items()}
+                params = self._init_params(rng, init_batch)
+            state = make_train_state(self.cfg, params, step=step)
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     def _init_params(self, rng, batch):

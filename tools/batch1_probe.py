@@ -35,13 +35,16 @@ H, W = 512, 768
 
 def main():
     print(jax.devices(), flush=True)
+    from rgba_tpu.utils.init import cpu_init
+
     model = RGBAPipeline(policy=SERVE_POLICY)
     rng = jax.random.PRNGKey(0)
     d0 = synthetic_rgba_batch(1, H, W, seed=0)
-    variables = model.init({"params": rng, "noise": rng},
-                           jnp.asarray(d0["masked_image"]),
-                           jnp.asarray(d0["alpha"]), training=False)
-    params = jax.device_put(variables["params"])
+    # init via a default-policy twin: params are policy-independent and
+    # the serve policy's fused routing can't lower on the CPU backend
+    params = jax.device_put(cpu_init(
+        RGBAPipeline(), {"params": rng, "noise": rng},
+        d0["masked_image"], d0["alpha"], training=False)["params"])
 
     @jax.jit
     def fwd(p, x, m):
@@ -90,14 +93,16 @@ def main():
 
     mask_model, rgb_model = MaskCodec(), RGBCodec()
     d = synthetic_rgba_batch(1, H, W, seed=7)
-    a, x = jnp.asarray(d["alpha"]), jnp.asarray(d["masked_image"])
-    mp = mask_model.init({"params": rng, "noise": rng}, a,
-                         training=False)["params"]
-    rp = rgb_model.init({"params": rng, "noise": rng}, x, a, a,
-                        mask_pyramid(a), training=False)["params"]
-    codec = RGBAFileCodec(CodecIO(rgb_model, jax.device_put(rp), kind="rgb"),
-                          CodecIO(mask_model, jax.device_put(mp),
-                                  kind="mask"))
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me0 = mask_pyramid(jnp.asarray(d["alpha"]))
+    mp = jax.device_put(cpu_init(
+        mask_model, {"params": rng, "noise": rng}, d["alpha"],
+        training=False)["params"])
+    rp = jax.device_put(cpu_init(
+        rgb_model, {"params": rng, "noise": rng}, d["masked_image"],
+        d["alpha"], d["alpha"], me0, training=False)["params"])
+    codec = RGBAFileCodec(CodecIO(rgb_model, rp, kind="rgb"),
+                          CodecIO(mask_model, mp, kind="mask"))
     rgba = np.concatenate([np.asarray(d["image"]), np.asarray(d["alpha"])],
                           -1)
     blob = codec.encode_batch(rgba[..., :3], rgba[..., 3:])[0]  # compile

@@ -33,13 +33,17 @@ from rgba_tpu.utils.benchmark import device_time
 
 
 def load_trained_params(lam):
+    from rgba_tpu.utils.init import cpu_init
+
     key = jax.random.PRNGKey(0)
-    m0 = jnp.zeros((1, 256, 256, 1))
-    x0 = jnp.zeros((1, 256, 256, 3))
-    mask_tmpl = MaskCodec().init({"params": key, "noise": key}, m0,
-                                 training=False)["params"]
-    rgb_tmpl = RGBCodec().init({"params": key, "noise": key}, x0, m0, m0,
-                               mask_pyramid(m0), training=False)["params"]
+    m0 = np.zeros((1, 256, 256, 1), np.float32)
+    x0 = np.zeros((1, 256, 256, 3), np.float32)
+    mask_tmpl = cpu_init(MaskCodec(), {"params": key, "noise": key}, m0,
+                         training=False)["params"]
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me0 = mask_pyramid(jnp.asarray(m0))
+    rgb_tmpl = cpu_init(RGBCodec(), {"params": key, "noise": key}, x0, m0,
+                        m0, me0, training=False)["params"]
     sweep_dir = os.environ.get("RD_SWEEP_DIR", "/root/repo/.rd_sweep")
     mask_ck = latest_checkpoint(os.path.join(sweep_dir, "mask_ck"))
     rgb_ck = latest_checkpoint(os.path.join(sweep_dir, f"rgb_{lam}_ck"))

@@ -32,9 +32,13 @@ def main():
     data = synthetic_rgba_batch(BATCH, H, W, seed=3)
     x = jnp.asarray(data["masked_image"])
     mask = jnp.asarray(data["alpha"])
-    params = model.init({"params": rng, "noise": rng}, x[:1], mask[:1],
-                        mask[:1], mask_pyramid(mask[:1]),
-                        training=False)["params"]
+    from rgba_tpu.utils.init import cpu_init
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me0 = mask_pyramid(jnp.asarray(data["alpha"][:1]))
+    params = jax.device_put(cpu_init(
+        model, {"params": rng, "noise": rng}, data["masked_image"][:1],
+        data["alpha"][:1], data["alpha"][:1], me0,
+        training=False)["params"])
     io = CodecIO(model, params, kind="rgb")
 
     t0 = time.time()
