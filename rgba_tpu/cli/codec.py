@@ -37,15 +37,24 @@ def _load_codecs(rgb_path: str, mask_path: str):
     from ..models.rgb_codec import RGBCodec
     from ..ops.mask_pyramid import mask_pyramid
 
+    import numpy as np
+
+    from ..utils.init import cpu_init
+
     key = jax.random.PRNGKey(0)
     mask_model = MaskCodec()
-    m = jnp.zeros((1, 64, 64, 1))
-    mask_params = mask_model.init({"params": key, "noise": key}, m,
-                                  training=False)["params"]
+    m = np.zeros((1, 64, 64, 1), np.float32)
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    # host-CPU init (utils/init.py): these are only weight-loading
+    # templates — an eager on-device init would pay a remote compile per
+    # primitive through the axon tunnel
+    mask_params = cpu_init(mask_model, {"params": key, "noise": key}, m,
+                           training=False)["params"]
     rgb_model = RGBCodec()
-    x = jnp.zeros((1, 64, 64, 3))
-    rgb_params = rgb_model.init({"params": key, "noise": key}, x, m, m,
-                                mask_pyramid(m), training=False)["params"]
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me0 = mask_pyramid(jnp.asarray(m))
+    rgb_params = cpu_init(rgb_model, {"params": key, "noise": key}, x, m,
+                          m, me0, training=False)["params"]
 
     def load(path, template):
         if not path:

@@ -24,11 +24,15 @@ from .common import build_parser, load_params_if, make_tb_writer, setup_logging
 
 
 def _init_mask_params(mask_model):
-    import jax.numpy as jnp
-    mask = jnp.zeros((1, 64, 64, 1))
+    import numpy as np
+
+    from ..utils.init import cpu_init
+    mask = np.zeros((1, 64, 64, 1), np.float32)
     rng = jax.random.PRNGKey(0)
-    return mask_model.init({"params": rng, "noise": rng}, mask,
-                           training=False)["params"]
+    # host-CPU template init (utils/init.py) — avoids the per-primitive
+    # remote-compile stall of eager on-device init
+    return cpu_init(mask_model, {"params": rng, "noise": rng}, mask,
+                    training=False)["params"]
 
 
 def main(argv=None):

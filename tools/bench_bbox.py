@@ -53,12 +53,17 @@ def main():
     mask_model, rgb_model = MaskCodec(), RGBCodec()
     datas = [sprite_batch(batch, ch, cw, h, w, y0, x0, seed=s)
              for s in range(max(iters, 2))]
-    m0 = jnp.zeros((1, 64, 64, 1))
-    x0_ = jnp.zeros((1, 64, 64, 3))
-    mask_params = mask_model.init({"params": rng, "noise": rng}, m0,
-                                  training=False)["params"]
-    rgb_params = rgb_model.init({"params": rng, "noise": rng}, x0_, m0, m0,
-                                mask_pyramid(m0), training=False)["params"]
+    from rgba_tpu.utils.init import cpu_init
+    m0 = np.zeros((1, 64, 64, 1), np.float32)
+    x0_ = np.zeros((1, 64, 64, 3), np.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me0 = mask_pyramid(jnp.asarray(m0))
+    mask_params = jax.device_put(cpu_init(
+        mask_model, {"params": rng, "noise": rng}, m0,
+        training=False)["params"])
+    rgb_params = jax.device_put(cpu_init(
+        rgb_model, {"params": rng, "noise": rng}, x0_, m0, m0, me0,
+        training=False)["params"])
     codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
                           CodecIO(mask_model, mask_params, kind="mask"))
 

@@ -46,8 +46,12 @@ def main():
     m = jnp.asarray(d["alpha"])
 
     rng = jax.random.PRNGKey(0)
-    variables = model.init({"params": rng, "noise": rng}, x[:1], m[:1],
-                           training=False)
+    # init via a default-policy twin on the host CPU (utils/init.py):
+    # params are policy-independent and fused routing can't lower on CPU
+    from rgba_tpu.utils.init import cpu_init
+    variables = cpu_init(RGBAPipeline(), {"params": rng, "noise": rng},
+                         d["masked_image"][:1], d["alpha"][:1],
+                         training=False)
     if args.rgb_weights or args.mask_weights:
         from rgba_tpu.cli.common import load_params_if
         params = dict(variables["params"])

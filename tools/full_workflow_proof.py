@@ -81,15 +81,18 @@ def main():
     import jax.numpy as jnp
     from rgba_tpu.ops.mask_pyramid import mask_pyramid
 
+    from rgba_tpu.utils.init import cpu_init
+
     key = jax.random.PRNGKey(0)
     mask_model, rgb_model = MaskCodec(), RGBCodec()
-    m0 = jnp.zeros((1, 256, 256, 1))
-    x0 = jnp.zeros((1, 256, 256, 3))
-    me = mask_pyramid(m0)
-    mask_tmpl = mask_model.init({"params": key, "noise": key}, m0,
-                                training=False)["params"]
-    rgb_tmpl = rgb_model.init({"params": key, "noise": key}, x0, m0, m0,
-                              me, training=False)["params"]
+    m0 = np.zeros((1, 256, 256, 1), np.float32)
+    x0 = np.zeros((1, 256, 256, 3), np.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me = mask_pyramid(jnp.asarray(m0))
+    mask_tmpl = cpu_init(mask_model, {"params": key, "noise": key}, m0,
+                         training=False)["params"]
+    rgb_tmpl = cpu_init(rgb_model, {"params": key, "noise": key}, x0, m0,
+                        m0, me, training=False)["params"]
     mask_params = load_checkpoint(jax.device_get(mask_tmpl),
                                   latest_checkpoint(mask_ck))
     rgb_params = load_checkpoint(jax.device_get(rgb_tmpl),

@@ -34,14 +34,19 @@ from tools.rate_gate_codec_probe import masked_psnr
 
 
 def _random_params():
+    from rgba_tpu.utils.init import cpu_init
+
     key = jax.random.PRNGKey(0)
-    m0 = jnp.zeros((1, 256, 256, 1))
-    x0 = jnp.zeros((1, 256, 256, 3))
+    m0 = np.zeros((1, 256, 256, 1), np.float32)
+    x0 = np.zeros((1, 256, 256, 3), np.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me0 = mask_pyramid(jnp.asarray(m0))
     return {
-        "mask_codec": MaskCodec().init(
-            {"params": key, "noise": key}, m0, training=False)["params"],
-        "rgb_codec": RGBCodec().init(
-            {"params": key, "noise": key}, x0, m0, m0, mask_pyramid(m0),
+        "mask_codec": cpu_init(
+            MaskCodec(), {"params": key, "noise": key}, m0,
+            training=False)["params"],
+        "rgb_codec": cpu_init(
+            RGBCodec(), {"params": key, "noise": key}, x0, m0, m0, me0,
             training=False)["params"],
     }
 

@@ -25,14 +25,18 @@ def main():
     rng = jax.random.PRNGKey(0)
     mask_model, rgb_model = MaskCodec(), RGBCodec()
     data = synthetic_rgba_batch(batch, h, w, seed=0)
-    m0 = jnp.asarray(data["alpha"][:1])
-    x0 = jnp.asarray(data["masked_image"][:1])
-    me = mask_pyramid(m0)
+    from rgba_tpu.utils.init import cpu_init
+    m0 = data["alpha"][:1]
+    x0 = data["masked_image"][:1]
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me = mask_pyramid(jnp.asarray(m0))
     t0 = time.time()
-    mask_params = mask_model.init({"params": rng, "noise": rng}, m0,
-                                  training=False)["params"]
-    rgb_params = rgb_model.init({"params": rng, "noise": rng}, x0, m0, m0,
-                                me, training=False)["params"]
+    mask_params = jax.device_put(cpu_init(
+        mask_model, {"params": rng, "noise": rng}, m0,
+        training=False)["params"])
+    rgb_params = jax.device_put(cpu_init(
+        rgb_model, {"params": rng, "noise": rng}, x0, m0, m0, me,
+        training=False)["params"])
     print(f"init {time.time() - t0:.1f}s", flush=True)
     rgb_io = CodecIO(rgb_model, rgb_params, kind="rgb")
     mask_io = CodecIO(mask_model, mask_params, kind="mask")

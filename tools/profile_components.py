@@ -72,9 +72,13 @@ def main():
     masks = [(jnp.asarray((jax.random.uniform(jax.random.PRNGKey(i),
                                               (B, 512, 768, 1)) > 0.5),
                           jnp.float32),) for i in range(8)]
+    from rgba_tpu.utils.init import cpu_init
     mc = MaskCodec(policy=P)
-    pm = mc.init({"params": KEY, "noise": KEY}, masks[0][0],
-                 training=False)["params"]
+    # host-CPU init via a default-policy twin (utils/init.py): params are
+    # policy-independent; eager on-device init stalls through the tunnel
+    pm = jax.device_put(cpu_init(
+        MaskCodec(), {"params": KEY, "noise": KEY},
+        masks[0][0], training=False)["params"])
     report("mask codec fwd @512x768", jax.jit(
         lambda m_: mc.apply({"params": pm}, m_, training=False)["bpp"]),
         masks, iters=8)
@@ -83,8 +87,9 @@ def main():
     imgs = [(jax.random.uniform(jax.random.PRNGKey(100 + i),
                                 (B, 512, 768, 3)),) for i in range(8)]
     me = mask_pyramid(masks[0][0])
-    pr = rc.init({"params": KEY, "noise": KEY}, imgs[0][0], masks[0][0],
-                 masks[0][0], me, training=False)["params"]
+    pr = jax.device_put(cpu_init(
+        RGBCodec(), {"params": KEY, "noise": KEY}, imgs[0][0],
+        masks[0][0], masks[0][0], me, training=False)["params"])
 
     def rgb_fwd(x):
         return rc.apply({"params": pr}, x, masks[0][0], masks[0][0], me,

@@ -69,8 +69,10 @@ def main():
         prior = ChannelARPrior(latent_channels=m, num_slices=n_slices,
                                policy=P)
         ys32 = [(y.astype(jnp.float32),) for (y,) in ys]
-        p = prior.init({"params": KEY, "noise": KEY}, ys32[0][0],
-                       training=False)
+        from rgba_tpu.utils.init import cpu_init
+        p = jax.device_put(cpu_init(
+            type(prior)(latent_channels=m, num_slices=n_slices),
+            {"params": KEY, "noise": KEY}, ys32[0][0], training=False))
         fn = jax.jit(lambda y: prior.apply(p, y, training=False)[
             "y_likelihoods"])
         report(f"ChannelARPrior full ({tag}, {n_slices} slices)", fn, ys32,
