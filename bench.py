@@ -18,7 +18,12 @@ reference number (it publishes none — emitting a constant 1.0 invited
 misreading it as "at parity with the reference").
 
 Env knobs: BENCH_MODE=forward|codec|both (default both), BENCH_BATCH,
-BENCH_ITERS, BENCH_POLICY (forward), BENCH_PIPE=0 to unpipeline the codec.
+BENCH_ITERS, BENCH_POLICY (forward), BENCH_PIPE=0 to unpipeline the codec,
+BENCH_IGNORE_CLIENTS=1 to override the concurrent-TPU-client refusal.
+
+Every record embeds a `chip_health` canary (raw 8192^3 bf16 matmul TF/s +
+per-sync ms measured in this process) so a degraded chip/tunnel — the
+BENCH_r03 failure mode — is visible in the official record itself.
 """
 
 from __future__ import annotations
@@ -184,6 +189,29 @@ def _published_ratio(value: float):
 
 def main():
     mode = os.environ.get("BENCH_MODE", "both")
+    if mode not in ("forward", "codec", "both"):
+        raise SystemExit(
+            f"BENCH_MODE={mode!r} not in ('forward', 'codec', 'both')")
+
+    from rgba_tpu.utils.health import chip_health, other_tpu_clients
+
+    # one-client rule (CLAUDE.md): a concurrent rgba_tpu TPU process
+    # wedges the tunnel and poisons the measurement — refuse, don't kill
+    # (kills are by-PID only: tools/watchdog.sh --kill-stale)
+    clients = other_tpu_clients()
+    if clients and os.environ.get("BENCH_IGNORE_CLIENTS") != "1":
+        for pid, cmd in clients:
+            print(f"# concurrent TPU client pid={pid}: {cmd}", flush=True)
+        raise SystemExit(
+            "refusing to bench with concurrent rgba_tpu TPU processes; "
+            "finish/kill them (tools/watchdog.sh --kill-stale) or set "
+            "BENCH_IGNORE_CLIENTS=1")
+
+    # environment canary FIRST: a raw matmul carries no project code, so
+    # it adjudicates degraded-chip vs code-regression in the same record
+    # (BENCH_r03 post-mortem). ~2 s on a healthy chip.
+    health = chip_health()
+
     fwd = measure_forward() if mode in ("forward", "both") else None
     codec = measure_codec() if mode in ("codec", "both") else None
 
@@ -201,6 +229,14 @@ def main():
                   "detail": {"batch": fwd["batch"]}}
         if codec is not None:
             record["detail"]["kodak_rgba_encdec_throughput"] = codec
+    record["detail"]["chip_health"] = health
+    if health["degraded"]:
+        # annotate, never hide: the value below was measured on a
+        # degraded chip/tunnel and carries no signal about the code
+        record["detail"]["WARNING"] = (
+            f"chip degraded: raw matmul {health['matmul_tflops']} TF/s is "
+            f"{health['healthy_frac']:.0%} of the healthy 173 TF/s — this "
+            "measurement reflects the environment, not the code")
     print(json.dumps(record))
 
 

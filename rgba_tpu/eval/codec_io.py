@@ -59,15 +59,22 @@ def drive_chains(chains: Sequence) -> List:
     independent work is enqueued on the single device stream."""
     outs: List = [None] * len(chains)
     live = list(enumerate(chains))
-    while live:
-        still = []
-        for i, ch in live:
-            try:
-                next(ch)
-                still.append((i, ch))
-            except StopIteration as e:
-                outs[i] = e.value
-        live = still
+    try:
+        while live:
+            still = []
+            for i, ch in live:
+                try:
+                    next(ch)
+                    still.append((i, ch))
+                except StopIteration as e:
+                    outs[i] = e.value
+            live = still
+    finally:
+        # one chain raising (e.g. a corrupt rANS stream) must not leak
+        # the sibling chains' native decoder state in a long-lived
+        # serving process: generator .close() runs their finally blocks
+        for _, ch in live:
+            ch.close()
     return outs
 
 
@@ -78,10 +85,19 @@ class CodecIO:
     """
 
     def __init__(self, model, params, kind: str = "rgb",
-                 rate_gate: bool = False):
+                 rate_gate: bool = False, sharding=None):
         self.model = model
         self.params = params
         self.kind = kind
+        # multi-chip batch-parallel serving (SURVEY §2.3): a batch-leading
+        # jax.sharding.NamedSharding here places every host->device upload
+        # of the decode chain (decoded symbols, z_hat) across the data
+        # mesh, so the slice programs run SPMD — images are independent,
+        # XLA inserts no collectives, and the streams/recon are
+        # bit-identical to single-device (tests/test_serving_sharded.py).
+        # The batch must divide the mesh's data axis.  Encode needs no
+        # flag: pass batch-sharded device arrays to compress_batch.
+        self.sharding = sharding
         self.num_slices = 10 if kind == "rgb" else 5
         # channel-AR support truncation (ChannelARPrior.max_support_slices,
         # reference AutoEncoderRGB_Journal.py:245): slices >= max_support
@@ -103,6 +119,31 @@ class CodecIO:
         self._dz_fns: dict = {}
         self._tail_fns: dict = {}
         self._variant_lock = threading.Lock()
+
+    def _put(self, x, batch_axis: int = 0):
+        """Upload a host array, batch-sharded when self.sharding is set."""
+        if self.sharding is None:
+            return jnp.asarray(x)
+        spec = self.sharding.spec
+        if batch_axis:
+            from jax.sharding import NamedSharding, PartitionSpec
+            spec = PartitionSpec(*([None] * batch_axis), *spec)
+            return jax.device_put(
+                np.asarray(x), NamedSharding(self.sharding.mesh, spec))
+        return jax.device_put(np.asarray(x), self.sharding)
+
+    def set_params(self, params):
+        """Swap model weights WITHOUT dropping compiled executables.
+
+        Every jitted pass takes params as a runtime argument (never a
+        closure), so re-pointing self.params reuses all cached
+        executables — through the axon tunnel each remote compile costs
+        minutes, which makes evaluating N checkpoints of the same model
+        N× cheaper this way (the RD sweep evals 4 models back to back).
+        Only the host-side rANS CDF tables are params-derived state and
+        are rebuilt here."""
+        self.params = params
+        self.eb_tables = self._build_eb_tables()
 
     # ------------------------------------------------------------ tables
 
@@ -535,7 +576,7 @@ class CodecIO:
                 t["cdf_lengths"], t["offsets"]).astype(np.float32)
 
         z_sym = np.concatenate(list(self._pool.map(decode_z, range(batch))))
-        z_hat = jnp.asarray(z_sym + t["medians"][None, None, None, :])
+        z_hat = self._put(z_sym + t["medians"][None, None, None, :])
 
         lm, ls = self._hyper_decode_fn(self.params, z_hat)
         decoders = [rans.RansDecoder(c["strings"][0]) for c in compressed]
@@ -554,68 +595,73 @@ class CodecIO:
 
         alives: List = [None] * batch
         y_hats: List = []
-        if k == 0:
-            y_hat = self._tail_fill_fn(0)(self.params, lm, ls)
+        # try/finally: native decoder state must not leak when the chain
+        # is abandoned mid-drive (a sibling chain raising makes
+        # drive_chains .close() this generator -> GeneratorExit) or when
+        # a corrupt stream raises below; RansDecoder.close is idempotent
+        try:
+            if k == 0:
+                y_hat = self._tail_fill_fn(0)(self.params, lm, ls)
+                yield
+                return y_hat
+            # tail split: slices 0..serial-1 decode through the strictly
+            # sequential chain; the remaining `tail` slices (if any) decode
+            # from one batched stats pass (support truncation, _tail_stats_fn)
+            tail = k - self.max_support if (tail_parallel and
+                                            k > self.max_support) else 0
+            serial = k - tail
+            mu_tail = idx_tail = None
+            mu, index = self._first_stats_fn(self.params, lm, ls)
+            yield  # hyper decode + slice-0 stats enqueued; let siblings run
+            for i in range(serial):
+                # uint8 down, int16 up — the tunnel pays per byte
+                idx_np = jax.device_get(index).astype(np.int32)
+                if gate_host is not None and alives[0] is None:
+                    sw = idx_np.shape[-1]
+                    lh, lw = idx_np.shape[1], idx_np.shape[2]
+                    alives = [np.broadcast_to(gate_host[b], (1, lh, lw, sw))
+                              .ravel() for b in range(batch)]
+                syms = list(self._pool.map(
+                    decode_slice,
+                    [(decoders[b], idx_np[b:b + 1], alives[b])
+                     for b in range(batch)]))
+                sym_dev = self._put(np.concatenate(syms).astype(np.int16))
+                if i + 1 < serial:
+                    y_prev, mu, index = self._step_fns[i + 1](
+                        self.params, lm, ls, sym_dev, mu, *y_hats)
+                    y_hats.append(y_prev)
+                elif tail:
+                    y_prev, mu_tail, idx_tail = self._tail_stats_fn(
+                        self.params, lm, ls, sym_dev, mu, *y_hats)
+                    y_hats.append(y_prev)
+                elif k < self.num_slices:
+                    y_hats.append(self._tail_fill_fn(k)(
+                        self.params, lm, ls, sym_dev, mu, *y_hats))
+                else:
+                    y_hats.append(self._last_finish_fn(
+                        self.params, lm, sym_dev, mu, *y_hats))
+                yield  # slice i finished + next stats enqueued
+            if tail:
+                # ONE fetch for every tail slice's indexes, then each image's
+                # stream decodes its whole tail back-to-back on a host thread
+                idxs_np = jax.device_get(idx_tail).astype(np.int32)
+
+                def decode_tail(b):
+                    return np.stack([
+                        decode_slice((decoders[b], idxs_np[j, b:b + 1],
+                                      alives[b])) for j in range(tail)])
+
+                syms = list(self._pool.map(decode_tail, range(batch)))
+                sym_dev = self._put(
+                    np.concatenate(syms, axis=1).astype(np.int16),
+                    batch_axis=1)
+                y_hats.append(self._tail_assemble_fn(tail)(
+                    self.params, lm, sym_dev, mu_tail, *y_hats))
+                yield  # tail finished in one dispatch
+            return jnp.concatenate(y_hats, axis=-1)
+        finally:
             for dec in decoders:
                 dec.close()
-            yield
-            return y_hat
-        # tail split: slices 0..serial-1 decode through the strictly
-        # sequential chain; the remaining `tail` slices (if any) decode
-        # from one batched stats pass (support truncation, _tail_stats_fn)
-        tail = k - self.max_support if (tail_parallel and
-                                        k > self.max_support) else 0
-        serial = k - tail
-        mu_tail = idx_tail = None
-        mu, index = self._first_stats_fn(self.params, lm, ls)
-        yield  # hyper decode + slice-0 stats enqueued; let siblings run
-        for i in range(serial):
-            # uint8 down, int16 up — the tunnel pays per byte
-            idx_np = jax.device_get(index).astype(np.int32)
-            if gate_host is not None and alives[0] is None:
-                sw = idx_np.shape[-1]
-                lh, lw = idx_np.shape[1], idx_np.shape[2]
-                alives = [np.broadcast_to(gate_host[b], (1, lh, lw, sw))
-                          .ravel() for b in range(batch)]
-            syms = list(self._pool.map(
-                decode_slice,
-                [(decoders[b], idx_np[b:b + 1], alives[b])
-                 for b in range(batch)]))
-            sym_dev = jnp.asarray(np.concatenate(syms).astype(np.int16))
-            if i + 1 < serial:
-                y_prev, mu, index = self._step_fns[i + 1](
-                    self.params, lm, ls, sym_dev, mu, *y_hats)
-                y_hats.append(y_prev)
-            elif tail:
-                y_prev, mu_tail, idx_tail = self._tail_stats_fn(
-                    self.params, lm, ls, sym_dev, mu, *y_hats)
-                y_hats.append(y_prev)
-            elif k < self.num_slices:
-                y_hats.append(self._tail_fill_fn(k)(
-                    self.params, lm, ls, sym_dev, mu, *y_hats))
-            else:
-                y_hats.append(self._last_finish_fn(
-                    self.params, lm, sym_dev, mu, *y_hats))
-            yield  # slice i finished + next stats enqueued
-        if tail:
-            # ONE fetch for every tail slice's indexes, then each image's
-            # stream decodes its whole tail back-to-back on a host thread
-            idxs_np = jax.device_get(idx_tail).astype(np.int32)
-
-            def decode_tail(b):
-                return np.stack([
-                    decode_slice((decoders[b], idxs_np[j, b:b + 1],
-                                  alives[b])) for j in range(tail)])
-
-            syms = list(self._pool.map(decode_tail, range(batch)))
-            sym_dev = jnp.asarray(
-                np.concatenate(syms, axis=1).astype(np.int16))
-            y_hats.append(self._tail_assemble_fn(tail)(
-                self.params, lm, sym_dev, mu_tail, *y_hats))
-            yield  # tail finished in one dispatch
-        for dec in decoders:
-            dec.close()
-        return jnp.concatenate(y_hats, axis=-1)
 
     def decompress_chains(self, compressed: Sequence[dict],
                           gate_host: Optional[np.ndarray] = None,
@@ -640,26 +686,38 @@ class CodecIO:
                     max_slices=max_slices, tail_parallel=tail_parallel)
                 for g in groups]
 
-    def decode_image(self, y_hat, mask=None, device: bool = False):
+    def decode_image(self, y_hat, mask=None, device: bool = False,
+                     md=None):
         """Finish a decode from the latent a decompress_chain returned:
         synthesis transform (+ mask-pyramid gating for the RGB codec),
-        clipped to [0, 1].  device=True keeps the result on-chip."""
+        clipped to [0, 1].  device=True keeps the result on-chip.
+        md: optionally a precomputed mask_pyramid(mask) (the rate-gated
+        fallback in decompress_batch already built one for the gate)."""
         if self.kind == "rgb":
-            md = mask_pyramid(jnp.asarray(mask))
+            if md is None:
+                md = mask_pyramid(jnp.asarray(mask))
             x_hat = self._decode_image_fn(self.params, y_hat, md[1], md[2])
         else:
             x_hat = self._decode_image_fn(self.params, y_hat)
         return x_hat if device else np.asarray(jax.device_get(x_hat))
+
+    def decompress_batch_with_latent(self, compressed: Sequence[dict],
+                                     **kw) -> tuple:
+        """decompress_batch variant that also returns the decoded latent
+        y_hat (same device/host placement as the reconstruction) — the
+        typed spelling of the old ``return_latent=True`` flag, used by
+        tests to pin the progressive-decode causality guarantee."""
+        return self.decompress_batch(compressed, _return_latent=True, **kw)
 
     def decompress_batch(self, compressed: Sequence[dict],
                          mask: Optional[np.ndarray] = None,
                          device: bool = False,
                          rate_gate: Optional[bool] = None,
                          max_slices: Optional[int] = None,
-                         return_latent: bool = False,
+                         _return_latent: bool = False,
                          interleave: int = 1,
                          tail_parallel: bool = True,
-                         ) -> "np.ndarray | jax.Array | tuple":
+                         ) -> "np.ndarray | jax.Array":
         """Batched decompress of same-shaped streams. The slice loop runs
         once for the whole batch: one fused device dispatch + one index
         fetch per slice, with the B rANS streams decoded on host threads.
@@ -686,7 +744,7 @@ class CodecIO:
         ordering makes early slices the most informative — the same
         structure the reference's max_support_slices=5 exploits).  The
         stream itself is untouched: ONE encoded blob serves every preview
-        level.  return_latent=True additionally returns y_hat (used by
+        level.  decompress_batch_with_latent additionally returns y_hat (used by
         tests to pin the causality guarantee).
 
         For rate-gated streams the gate the ENCODER used must be supplied:
@@ -699,24 +757,27 @@ class CodecIO:
             bool(rate_gate) and self.kind == "rgb")
         compressed = list(compressed)
         gate_host = None
+        md = None
         if rg:
             if all("gate" in c for c in compressed):
                 gate_host = np.stack([np.asarray(c["gate"]) for c in
                                       compressed])
             else:
-                gate_host = np.asarray(
-                    jax.device_get(mask_pyramid(jnp.asarray(mask))[2])) > 0
+                # keep the pyramid: decode_image needs md[1]/md[2] too —
+                # one model-sized dispatch instead of two on this path
+                md = mask_pyramid(jnp.asarray(mask))
+                gate_host = np.asarray(jax.device_get(md[2])) > 0
 
         parts = drive_chains(self.decompress_chains(
             compressed, gate_host=gate_host, max_slices=max_slices,
             interleave=interleave, tail_parallel=tail_parallel))
         y_hat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
-        x_hat = self.decode_image(y_hat, mask=mask, device=True)
+        x_hat = self.decode_image(y_hat, mask=mask, device=True, md=md)
         if not device:
             x_hat = np.asarray(jax.device_get(x_hat))
-            if return_latent:
+            if _return_latent:
                 return x_hat, np.asarray(jax.device_get(y_hat))
-        elif return_latent:
+        elif _return_latent:
             return x_hat, y_hat
         return x_hat
 

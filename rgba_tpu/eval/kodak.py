@@ -38,8 +38,45 @@ def _save_rgba(path: str, rgb: np.ndarray, alpha: Optional[np.ndarray]):
         Image.fromarray(rgb8, "RGB").save(path)
 
 
+_EVAL_STEP_CACHE: dict = {}
+_CODEC_FWD_CACHE: dict = {}
+
+
+def _make_codec_forward(rgb_model):
+    hit = _CODEC_FWD_CACHE.get(id(rgb_model))
+    if hit is not None and hit[0] is rgb_model:
+        return hit[1]
+
+    def _codec_forward(params, x, m):
+        me = mask_pyramid(m)
+        r = rgb_model.apply({"params": params}, x, m, m, me,
+                            training=False)
+        return jnp.clip(r["x_hat"], 0.0, 1.0)
+
+    fn = jax.jit(_codec_forward)
+    _CODEC_FWD_CACHE[id(rgb_model)] = (rgb_model, fn)
+    return fn
+
+
 def make_eval_step(rgb_model, mask_model):
-    """One jitted eval pass over a single image (both codecs)."""
+    """One jitted eval pass over a single image (both codecs).
+
+    Cached per (rgb_model, mask_model) object pair: params are runtime
+    arguments, so back-to-back evals of different CHECKPOINTS of the
+    same models (the RD sweep) reuse one compiled executable instead of
+    paying the multi-minute remote compile per checkpoint."""
+    key = (id(rgb_model), id(mask_model))
+    hit = _EVAL_STEP_CACHE.get(key)
+    # identity check guards id() reuse after GC; holding the models in
+    # the cache value also keeps them alive
+    if hit is not None and hit[0] is rgb_model and hit[1] is mask_model:
+        return hit[2]
+    fn = _make_eval_step(rgb_model, mask_model)
+    _EVAL_STEP_CACHE[key] = (rgb_model, mask_model, fn)
+    return fn
+
+
+def _make_eval_step(rgb_model, mask_model):
 
     def step(rgb_params, mask_params, masked_input, mask):
         me = mask_pyramid(mask)
@@ -70,7 +107,8 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
                    rootpath: str, output_dir: Optional[str] = None,
                    step: int = 0, tb_writer=None,
                    real_codec: bool = False,
-                   curriculum: bool = False) -> dict:
+                   curriculum: bool = False,
+                   codec=None) -> dict:
     """real_codec=True additionally runs the actual rANS bitstream per
     image (mask + RGB streams via the container format) and reports the
     byte-accurate bpp alongside the likelihood-estimated one (the
@@ -88,23 +126,25 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
                          "container always codes the true alpha")
     ds = KodakDataset(rootpath)
     eval_step = make_eval_step(rgb_model, mask_model)
-    codec = None
-    if real_codec:
+    if not real_codec:
+        codec = None
+    elif codec is not None:
+        # caller-supplied RGBAFileCodec: re-point its weights so all its
+        # compiled executables survive across checkpoints (CodecIO
+        # passes params as runtime arguments — see set_params)
+        codec.rgb_io.set_params(rgb_params)
+        codec.mask_io.set_params(mask_params)
+    else:
         from .codec_io import CodecIO
         from .container import RGBAFileCodec
         codec = RGBAFileCodec(
             CodecIO(rgb_model, rgb_params, kind="rgb"),
             CodecIO(mask_model, mask_params, kind="mask"))
-
+    if real_codec:
         # forward with the container's inputs (everything gated by the
-        # recon mask) — the oracle the decoded bitstream must reproduce
-        def _codec_forward(params, x, m):
-            me = mask_pyramid(m)
-            r = rgb_model.apply({"params": params}, x, m, m, me,
-                                training=False)
-            return jnp.clip(r["x_hat"], 0.0, 1.0)
-
-        codec_forward = jax.jit(_codec_forward)
+        # recon mask) — the oracle the decoded bitstream must reproduce;
+        # cached per model object like make_eval_step
+        codec_forward = _make_codec_forward(rgb_model)
     sums = {k: 0.0 for k in ("bpp", "psnr", "msssim", "msssimdb", "time",
                              "real_bpp", "codec_time", "codec_err")}
     n = len(ds)

@@ -19,8 +19,9 @@ is possible anyway because channel widths of the support stack grow.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Any, List, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -96,6 +97,32 @@ class ChannelARPrior(nn.Module):
     num_slices: int                 # 10 (RGB) or 5 (mask)
     max_support_slices: int = 5
     policy: Policy = DEFAULT_POLICY
+    # multi-chip training (SURVEY §2.3): a batch-leading NamedSharding
+    # pins the hyper tensors (z, z_hat, latent means/scales) to
+    # batch-only sharding.  Without it GSPMD's propagation through the
+    # entropy head is unspecified, and on a 2-D (space, data) mesh the
+    # spatially-collapsed z (B, 1, 1, 192) triggers an "involuntary full
+    # rematerialization" reshard of its gradient (MULTICHIP_r03 tail).
+    # with_sharding_constraint also constrains the cotangent, so one
+    # forward annotation covers the backward pass.  None (default) adds
+    # nothing to the program.
+    data_sharding: Any = None
+
+    def _constrain(self, x):
+        s = self.data_sharding
+        if s is None:
+            return x
+        spec0 = s.spec[0] if len(s.spec) else None
+        axes = (spec0,) if isinstance(spec0, str) else tuple(spec0 or ())
+        n0 = 1
+        for a in axes:
+            n0 *= s.mesh.shape[a]
+        if n0 <= 1 or x.shape[0] % n0:
+            # e.g. Module.init's batch-1 trace, or an eval batch that
+            # doesn't divide the data axis — the constraint is a
+            # performance pin, not a correctness requirement
+            return x
+        return jax.lax.with_sharding_constraint(x, s)
 
     def setup(self):
         m = self.latent_channels
@@ -153,14 +180,23 @@ class ChannelARPrior(nn.Module):
         of the real codec skipping those symbols entirely (eval/codec_io
         rate_gate).  Serving/eval knob; None during training.
         """
-        y = y.astype(jnp.float32)
+        # batch-only sharding for the WHOLE entropy head (data_sharding
+        # set): the hyper path's spatial dims collapse (z = y/8) below any
+        # realistic `space` axis, so height-sharding cannot survive h_a —
+        # pinning the boundary at y makes the space->batch transition one
+        # cheap all-gather on y instead of a GSPMD last-resort reshard of
+        # z's gradient deep inside the backward pass.  The head is a tiny
+        # fraction of model FLOPs; the big transforms keep their 2-D
+        # (space, data) sharding.
+        y = self._constrain(y.astype(jnp.float32))
         b, h, w, m = y.shape
-        z = self.h_a(y)
+        z = self._constrain(self.h_a(y))
         z_hat, z_lik = self.entropy_bottleneck(z.astype(jnp.float32),
                                                training=training)
+        z_hat = self._constrain(z_hat)
         latent_means, latent_scales = self.hyper_decode(z_hat)
-        latent_means = latent_means.astype(jnp.float32)
-        latent_scales = latent_scales.astype(jnp.float32)
+        latent_means = self._constrain(latent_means.astype(jnp.float32))
+        latent_scales = self._constrain(latent_scales.astype(jnp.float32))
 
         sw = m // self.num_slices
         y_slices = [y[..., i * sw:(i + 1) * sw] for i in range(self.num_slices)]
@@ -185,7 +221,7 @@ class ChannelARPrior(nn.Module):
             scales.append(scale)
 
         return {
-            "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
+            "y_hat": self._constrain(jnp.concatenate(y_hat_slices, axis=-1)),
             "y_likelihoods": jnp.concatenate(liks, axis=-1),
             "z_likelihoods": z_lik,
             "means": jnp.concatenate(mus, axis=-1),

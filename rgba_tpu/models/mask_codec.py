@@ -15,6 +15,8 @@ likelihood-estimated mask bpp of trainmask.py:258-271).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -70,12 +72,16 @@ class MaskDecoder(nn.Module):
 
 class MaskCodec(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    # batch-leading NamedSharding for the entropy head's hyper tensors on
+    # a multi-chip mesh (see ChannelARPrior.data_sharding); None = no-op
+    prior_sharding: Any = None
 
     def setup(self):
         self.encoder = MaskEncoder(policy=self.policy)
         self.decoder = MaskDecoder(policy=self.policy)
         self.prior = ChannelARPrior(latent_channels=MASK_M, num_slices=5,
-                                    policy=self.policy)
+                                    policy=self.policy,
+                                    data_sharding=self.prior_sharding)
 
     def __call__(self, mask, training: bool = False):
         """mask: (B, H, W, 1) in [0, 1].

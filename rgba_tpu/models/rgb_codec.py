@@ -16,7 +16,7 @@ Quirk kept: reconmask is re-quantized to 8 bits inside forward (:211-214).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -98,12 +98,16 @@ class RGBCodec(nn.Module):
     # function of the DECODED alpha, so the real codec derives the same
     # gate on both sides (eval/codec_io.py rate_gate).  Off in training.
     rate_gate: bool = False
+    # batch-leading NamedSharding for the entropy head's hyper tensors on
+    # a multi-chip mesh (see ChannelARPrior.data_sharding); None = no-op
+    prior_sharding: Any = None
 
     def setup(self):
         self.encoder = AnalysisTransform(policy=self.policy)
         self.decoder = SynthesisTransform(policy=self.policy)
         self.prior = ChannelARPrior(latent_channels=RGB_M, num_slices=10,
-                                    policy=self.policy)
+                                    policy=self.policy,
+                                    data_sharding=self.prior_sharding)
 
     def __call__(self, x, mask, reconmask, me_pyr: Tuple, training: bool = False):
         """x: (B,H,W,3) pre-masked RGB; mask: GT alpha (B,H,W,1);

@@ -49,11 +49,10 @@ def test_full_max_slices_equals_full_decode(mask_io):
 
 def test_preview_prefix_is_bit_identical(mask_io):
     io, comps = mask_io
-    _, y_full = io.decompress_batch(comps, return_latent=True)
+    _, y_full = io.decompress_batch_with_latent(comps)
     sw = y_full.shape[-1] // io.num_slices
     for k in (0, 1, 3):
-        x_k, y_k = io.decompress_batch(comps, max_slices=k,
-                                       return_latent=True)
+        x_k, y_k = io.decompress_batch_with_latent(comps, max_slices=k)
         assert y_k.shape == y_full.shape
         assert x_k.shape[0] == y_full.shape[0]
         # causality: decoded slices agree exactly with the full decode
@@ -69,10 +68,10 @@ def test_zero_slice_preview_reads_no_y_bytes(mask_io):
     never touched, so a blob whose y section is EMPTY must still decode —
     the strongest form of the 'previews skip the tail's rANS work' claim."""
     io, comps = mask_io
-    _, want = io.decompress_batch(comps, max_slices=0, return_latent=True)
+    _, want = io.decompress_batch_with_latent(comps, max_slices=0)
     gutted = [{"strings": [b"", c["strings"][1]], "shape": c["shape"]}
               for c in comps]
-    _, got = io.decompress_batch(gutted, max_slices=0, return_latent=True)
+    _, got = io.decompress_batch_with_latent(gutted, max_slices=0)
     np.testing.assert_array_equal(got, want)
 
 
@@ -97,10 +96,10 @@ def test_preview_composes_with_rate_gate():
     io = CodecIO(model, params, kind="rgb", rate_gate=True)
 
     comps = io.compress_batch(image=np.asarray(x), mask=np.asarray(mask))
-    _, y_full = io.decompress_batch(comps, mask=np.asarray(mask),
-                                    return_latent=True)
-    _, y_k = io.decompress_batch(comps, mask=np.asarray(mask),
-                                 max_slices=3, return_latent=True)
+    _, y_full = io.decompress_batch_with_latent(comps,
+                                                mask=np.asarray(mask))
+    _, y_k = io.decompress_batch_with_latent(comps, mask=np.asarray(mask),
+                                             max_slices=3)
     sw = y_full.shape[-1] // io.num_slices
     np.testing.assert_array_equal(y_k[..., :3 * sw], y_full[..., :3 * sw])
     assert not np.array_equal(y_k[..., 3 * sw:], y_full[..., 3 * sw:])

@@ -53,6 +53,63 @@ def test_codec_batch_sharded_bitstream_identical():
     np.testing.assert_array_equal(out_plain, out_shard)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(not rans.available(), reason="native rans not built")
+def test_container_roundtrip_batch_sharded_identical():
+    """FULL RGBAFileCodec encode_batch/decode_batch under the 8-device
+    data mesh (VERDICT r3 item 7): encode takes batch-sharded device
+    inputs, decode runs with batch-sharded CodecIOs (every host->device
+    upload of both slice chains lands across the mesh via CodecIO._put),
+    and both the container blobs and the decoded RGBA must be
+    BIT-IDENTICAL to the single-device path — multi-chip serving changes
+    throughput, not the format."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+    from rgba_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8, "conftest sets 8 virtual devices"
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+
+    key = jax.random.PRNGKey(3)
+    mask_model, rgb_model = MaskCodec(), RGBCodec()
+    d = synthetic_rgba_batch(8, 64, 64, seed=23)
+    m0, x0 = d["alpha"][:1], d["masked_image"][:1]
+    mask_params = mask_model.init({"params": key, "noise": key},
+                                  jnp.asarray(m0),
+                                  training=False)["params"]
+    rgb_params = rgb_model.init({"params": key, "noise": key},
+                                jnp.asarray(x0), jnp.asarray(m0),
+                                jnp.asarray(m0), mask_pyramid(jnp.asarray(m0)),
+                                training=False)["params"]
+
+    def build(sharding):
+        return RGBAFileCodec(
+            CodecIO(rgb_model, rgb_params, kind="rgb", sharding=sharding),
+            CodecIO(mask_model, mask_params, kind="mask", sharding=sharding))
+
+    plain = build(None)
+    sharded = build(sh)
+
+    blobs_plain = plain.encode_batch(d["image"], d["alpha"])
+    rgba_plain = plain.decode_batch(blobs_plain)
+
+    img_sh = jax.device_put(jnp.asarray(d["image"]), sh)
+    alpha_sh = jax.device_put(jnp.asarray(d["alpha"]), sh)
+    blobs_shard = sharded.encode_batch(img_sh, alpha_sh)
+    assert blobs_shard == blobs_plain, "sharded encode changed the format"
+    rgba_shard = sharded.decode_batch(blobs_shard)
+    np.testing.assert_array_equal(np.asarray(rgba_shard),
+                                  np.asarray(rgba_plain))
+
+
 def test_packed_dse_shard_map_serving():
     """packed_dse under multi-chip batch sharding: GSPMD would have to
     insert cross-device collectives for the 4-image pack when the global

@@ -19,6 +19,13 @@ transfers, which is what makes a 10k-step sweep feasible in one round.
 Wedge-tolerant: checkpoints every 1000 steps and resumes from the
 latest iter_N.ckpt (params-only — the reference's own resume semantics,
 trainRGB.py:83-96), so a killed/wedged run loses at most ~7 minutes.
+Each RGB model is evaluated IMMEDIATELY after it trains and its point
+is appended to rd_points.json atomically (round-3 post-mortem: the
+all-train-then-all-eval order with one final write lost every point to
+a mid-eval wedge).  All evals share one RGBAFileCodec via
+CodecIO.set_params, so the remote codec compiles are paid once, and a
+resume skips models whose point is already recorded at their latest
+checkpoint step.
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo \
        python -u tools/rd_sweep_proof.py [--steps-mask N] [--steps-rgb N]
@@ -148,24 +155,16 @@ def main():
         runs["msssim"] = ("rgb", 64, args.steps_msssim, "msssim")
     only = set(args.only.split(",")) if args.only else set(runs)
 
-    cks = {}
-    for name, (kind, lam, steps, dist) in runs.items():
-        if name not in only:
-            ckdir = os.path.join(outdir, f"{name}_ck")
-            if latest_checkpoint(ckdir) is not None:
-                cks[name] = ckdir
-            continue
-        if args.eval_only:
-            cks[name] = os.path.join(outdir, f"{name}_ck")
-            assert latest_checkpoint(cks[name]) is not None, cks[name]
-        else:
-            cks[name] = train_one(name, kind, lam, steps, outdir, dist)
-
+    # ----- shared eval machinery, built ONCE (the round-3 failure mode
+    # was all-train-then-all-eval with one final write: a wedge mid-eval
+    # lost every point.  Now each model evals right after it trains and
+    # its point lands in rd_points.json immediately.)
     import jax.numpy as jnp
     from rgba_tpu.data.synthetic import write_synthetic_kodak_tree
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec
     from rgba_tpu.eval.kodak import evaluate_kodak
     from rgba_tpu.ops.mask_pyramid import mask_pyramid
-
     from rgba_tpu.utils.init import cpu_init
 
     key = jax.random.PRNGKey(0)
@@ -180,27 +179,71 @@ def main():
         me0 = mask_pyramid(jnp.asarray(m0))
     rgb_tmpl = cpu_init(rgb_model, {"params": key, "noise": key}, x0, m0,
                         m0, me0, training=False)["params"]
-    mask_params = load_checkpoint(jax.device_get(mask_tmpl),
-                                  latest_checkpoint(cks["mask"]))
+    mask_tmpl = jax.device_get(mask_tmpl)
+    rgb_tmpl = jax.device_get(rgb_tmpl)
 
     tree = os.path.join(outdir, "kodak")
     write_synthetic_kodak_tree(tree, n_images=4, height=512, width=768)
-
+    points_path = os.path.join(outdir, "rd_points.json")
     points = {}
-    for name in [k for k in runs if k != "mask" and k in cks]:
-        ck = latest_checkpoint(cks[name])
-        rgb_params = load_checkpoint(jax.device_get(rgb_tmpl), ck)
-        avg = evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
-                             tree, step=step_from_path(ck), real_codec=True)
+    if os.path.exists(points_path):
+        with open(points_path) as f:
+            points = json.load(f)
+        print(f"[{_ts()}] resuming with {sorted(points)} already evaluated",
+              flush=True)
+
+    def write_points():
+        tmp = points_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(points, f, indent=2)
+        os.replace(tmp, points_path)
+
+    # one codec reused across every eval: CodecIO.set_params swaps the
+    # weights, so the multi-minute remote compiles are paid once
+    codec = [None]
+    mask_params = [None]
+
+    def eval_one(name, ckdir):
+        ck = latest_checkpoint(ckdir)
+        rgb_params = load_checkpoint(rgb_tmpl, ck)
+        if codec[0] is None:
+            codec[0] = RGBAFileCodec(
+                CodecIO(rgb_model, rgb_params, kind="rgb"),
+                CodecIO(mask_model, mask_params[0], kind="mask"))
+        avg = evaluate_kodak(rgb_model, rgb_params, mask_model,
+                             mask_params[0], tree, step=step_from_path(ck),
+                             real_codec=True, codec=codec[0])
         points[name] = {k: round(float(v), 6) for k, v in avg.items()}
         points[name]["step"] = step_from_path(ck)
+        write_points()
         print(f"[{_ts()}] {name}: {json.dumps(points[name])}", flush=True)
 
-    # record the points BEFORE asserting — a failed ordering check (e.g.
-    # an undertrained high-λ point) should still leave the data on disk,
-    # and the checkpoints allow extending the run with a larger step count
-    with open(os.path.join(outdir, "rd_points.json"), "w") as f:
-        json.dump(points, f, indent=2)
+    # ----- train (or locate) the mask codec first: every eval needs it
+    def ensure(name):
+        kind, lam, steps, dist = runs[name]
+        ckdir = os.path.join(outdir, f"{name}_ck")
+        if args.eval_only or name not in only:
+            assert latest_checkpoint(ckdir) is not None, \
+                f"{ckdir}: no checkpoint to evaluate"
+            return ckdir
+        return train_one(name, kind, lam, steps, outdir, dist)
+
+    mask_ck = ensure("mask")
+    mask_params[0] = load_checkpoint(mask_tmpl, latest_checkpoint(mask_ck))
+
+    for name in [n for n in runs if n != "mask"]:
+        if name not in only and latest_checkpoint(
+                os.path.join(outdir, f"{name}_ck")) is None:
+            continue  # deselected and never trained — nothing to eval
+        ckdir = ensure(name)
+        step = step_from_path(latest_checkpoint(ckdir))
+        if points.get(name, {}).get("step") == step:
+            print(f"[{_ts()}] {name}: point at step {step} already "
+                  "recorded — skipping eval", flush=True)
+            continue
+        eval_one(name, ckdir)
+
+    assert points, "no RGB model was evaluated"
 
     names = [f"rgb_{lam}" for lam in LAMBDAS if f"rgb_{lam}" in points]
     bpps = [points[n]["real_bpp"] for n in names]

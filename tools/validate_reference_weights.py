@@ -25,6 +25,15 @@ Usage:
 Exit status 0 iff every pair passes the gate.  --cpu forces jax onto the
 host CPU (bit-closest to the torch side; without it our eval runs on the
 TPU with the fp32 parity policy, which is also expected to pass).
+
+Residual risk (VERDICT r3): the end-to-end test of this tool
+(tests/test_validate_weights.py) runs it on RANDOM-init weights, whose
+near-degenerate bpp/PSNR distributions make the 0.1% relative gate much
+easier than at trained operating points.  The tool itself is exactly the
+acceptance procedure, but it has not yet been exercised on the published
+Drive weights (no egress in this environment) — first run against them
+should treat a marginal failure as plausible tolerance tuning, not
+necessarily an import bug.
 """
 
 from __future__ import annotations
@@ -149,16 +158,23 @@ def run_our_eval(rgb_path: str, mask_path: str, kodak_root: str, step: int):
     from rgba_tpu.models.rgb_codec import RGBCodec
     from rgba_tpu.ops.mask_pyramid import mask_pyramid
     from rgba_tpu.train.checkpoint import load_checkpoint
+    from rgba_tpu.utils.init import cpu_init
 
     key = jax.random.PRNGKey(0)
     mask_model = MaskCodec()
     rgb_model = RGBCodec()
     m0 = jnp.zeros((1, 64, 64, 1))
     x0 = jnp.zeros((1, 64, 64, 3))
-    mask_tmpl = mask_model.init({"params": key, "noise": key}, m0,
-                                training=False)["params"]
-    rgb_tmpl = rgb_model.init({"params": key, "noise": key}, x0, m0, m0,
-                              mask_pyramid(m0), training=False)["params"]
+    # host-CPU init: on the axon TPU an eager Module.init pays a remote
+    # compile PER PRIMITIVE and silently stalls 40+ min (CLAUDE.md);
+    # cpu_init is bit-identical and these templates only shape the
+    # checkpoint load anyway
+    mask_tmpl = cpu_init(mask_model, {"params": key, "noise": key}, m0,
+                         training=False)["params"]
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        me0 = mask_pyramid(m0)
+    rgb_tmpl = cpu_init(rgb_model, {"params": key, "noise": key}, x0, m0,
+                        m0, me0, training=False)["params"]
     rgb_params = load_checkpoint(jax.device_get(rgb_tmpl), rgb_path)
     mask_params = load_checkpoint(jax.device_get(mask_tmpl), mask_path)
 
