@@ -69,14 +69,16 @@ def measure_codec() -> dict:
     x0 = datas[0]["masked_image"][:1]
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         me = mask_pyramid(jnp.asarray(mask0))
-    # host-CPU init + one transfer: eager on-device init pays a remote
-    # compile per primitive through the tunnel (utils/init.py)
-    mask_params = jax.device_put(cpu_init(
+    # host-CPU init, kept host-side: CodecIO packs the tree into ONE
+    # flat device buffer (utils/flatparams.py), so the only transfer up
+    # is the packed buffer and the jitted passes see a single param
+    # argument (the 772-leaf tree as jit args collapsed BENCH_r03 ~30x)
+    mask_params = cpu_init(
         mask_model, {"params": rng, "noise": rng}, mask0,
-        training=False)["params"])
-    rgb_params = jax.device_put(cpu_init(
+        training=False)["params"]
+    rgb_params = cpu_init(
         rgb_model, {"params": rng, "noise": rng}, x0, mask0,
-        mask0, me, training=False)["params"])
+        mask0, me, training=False)["params"]
     codec = RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
                           CodecIO(mask_model, mask_params, kind="mask"))
 
@@ -148,25 +150,33 @@ def measure_forward() -> dict:
     rng = jax.random.PRNGKey(0)
     # init via a default-policy twin: the param tree is policy-independent
     # and the fused-kernel routing would lower Mosaic on the CPU backend
-    params = jax.device_put(cpu_init(
+    params = cpu_init(
         RGBAPipeline(), {"params": rng, "noise": rng}, xs[0][:1],
-        masks[0][:1], training=False)["params"])
+        masks[0][:1], training=False)["params"]
+    # ONE flat param buffer, not the 772-leaf tree: the axon tunnel
+    # charges ~14 ms per runtime argument buffer per execution, which
+    # collapsed the BENCH_r03 forward ~30x (tools/argleaf_probe.py;
+    # PERFORMANCE.md round-4). Packed on host (cpu_init output), one
+    # transfer up.
+    from rgba_tpu.utils.flatparams import FlatParams
+    fp = FlatParams(params)
 
     @jax.jit
-    def eval_step(p, x, mask):
-        out = model.apply({"params": p}, x, mask, training=False)
+    def eval_step(flat, x, mask):
+        out = model.apply({"params": fp.unravel(flat)}, x, mask,
+                          training=False)
         return out["x_hat"], out["bpp"]
 
     # Timing protocol: block_until_ready is unreliable under the axon
     # tunnel (returns before remote execution completes); enqueue the whole
     # loop and force a host fetch of a scalar from the LAST output — the
     # single TPU stream runs in order, so the fetch waits for everything.
-    xh, bpp = eval_step(params, xs[0], masks[0])
+    xh, bpp = eval_step(fp.flat, xs[0], masks[0])
     float(jax.device_get(bpp))
 
     t0 = time.perf_counter()
     for i in range(iters):
-        xh, bpp = eval_step(params, xs[i % len(xs)], masks[i % len(xs)])
+        xh, bpp = eval_step(fp.flat, xs[i % len(xs)], masks[i % len(xs)])
     float(jax.device_get(bpp))
     dt = time.perf_counter() - t0
 

@@ -42,6 +42,7 @@ import numpy as np
 from ..entropy.gaussian import GaussianConditional, get_scale_table
 from ..native import rans
 from ..ops.mask_pyramid import mask_pyramid
+from ..utils.flatparams import FlatParams
 
 _MAX_CODING_THREADS = 8
 
@@ -112,6 +113,17 @@ class CodecIO:
         # decompress_batch(rate_gate=...) (the container passes its header
         # flag so old blobs decode with either setting).
         self.rate_gate = bool(rate_gate) and kind == "rgb"
+        # every jitted pass takes the params as ONE flat buffer: the axon
+        # tunnel charges ~14 ms per runtime argument buffer per execution,
+        # so the 772-leaf tree as an argument costs seconds/call while the
+        # flat buffer runs at full speed (utils/flatparams.py; probe:
+        # tools/argleaf_probe.py). Checkpoint swaps still reuse every
+        # cached executable (set_params -> repack, structure unchanged).
+        dest = None
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            dest = NamedSharding(sharding.mesh, PartitionSpec())
+        self._fp = FlatParams(params, device=dest)
         self.gc = GaussianConditional(get_scale_table())
         self.gc.update()
         self.eb_tables = self._build_eb_tables()
@@ -135,15 +147,25 @@ class CodecIO:
     def set_params(self, params):
         """Swap model weights WITHOUT dropping compiled executables.
 
-        Every jitted pass takes params as a runtime argument (never a
-        closure), so re-pointing self.params reuses all cached
-        executables — through the axon tunnel each remote compile costs
-        minutes, which makes evaluating N checkpoints of the same model
-        N× cheaper this way (the RD sweep evals 4 models back to back).
-        Only the host-side rANS CDF tables are params-derived state and
-        are rebuilt here."""
+        Every jitted pass takes params as ONE flat runtime buffer (never
+        a closure), so repacking reuses all cached executables — through
+        the axon tunnel each remote compile costs minutes, which makes
+        evaluating N checkpoints of the same model N× cheaper this way
+        (the RD sweep evals 4 models back to back). Only the host-side
+        rANS CDF tables are params-derived state and are rebuilt here."""
         self.params = params
+        self._fp.repack(params)
         self.eb_tables = self._build_eb_tables()
+
+    def _pjit(self, run):
+        """jit `run(params_tree, ...)` as a flat-buffer executable.
+
+        The unravel is read from self._fp at TRACE time, so set_params
+        (same tree structure) never retraces; the flat buffer is the only
+        param argument the executable sees."""
+        def wrapped(flat, *args):
+            return run(self._fp.unravel(flat), *args)
+        return jax.jit(wrapped)
 
     # ------------------------------------------------------------ tables
 
@@ -221,7 +243,7 @@ class CodecIO:
 
             return model.apply({"params": params}, method=inner)
 
-        return jax.jit(run)
+        return self._pjit(run)
 
     @functools.cached_property
     def _compress_fn(self):
@@ -252,7 +274,7 @@ class CodecIO:
                 return lm.astype(jnp.float32), ls.astype(jnp.float32)
             return model.apply({"params": params}, method=inner)
 
-        return jax.jit(run)
+        return self._pjit(run)
 
     @functools.cached_property
     def _first_stats_fn(self):
@@ -266,7 +288,7 @@ class CodecIO:
                 return mu, self.gc.build_indexes(scale).astype(jnp.uint8)
             return model.apply({"params": params}, method=inner)
 
-        return jax.jit(run)
+        return self._pjit(run)
 
     @functools.cached_property
     def _step_fns(self):
@@ -289,7 +311,7 @@ class CodecIO:
                     return y_prev, mu, self.gc.build_indexes(scale).astype(
                         jnp.uint8)
                 return model.apply({"params": params}, method=inner)
-            fns.append(jax.jit(run))
+            fns.append(self._pjit(run))
         return fns
 
     @functools.cached_property
@@ -323,7 +345,7 @@ class CodecIO:
                 return y_prev, jnp.stack(mus), jnp.stack(idxs)
             return model.apply({"params": params}, method=inner)
 
-        return jax.jit(run)
+        return self._pjit(run)
 
     def _tail_assemble_fn(self, t: int):
         """Finish tail slices S..S+t-1 from their decoded symbols and
@@ -350,7 +372,7 @@ class CodecIO:
                 return jnp.concatenate(outs, axis=-1)
             return model.apply({"params": params}, method=inner)
 
-        fn = jax.jit(run)
+        fn = self._pjit(run)
         with self._variant_lock:
             return self._tail_fns.setdefault(key, fn)
 
@@ -367,7 +389,7 @@ class CodecIO:
                     lm, list(support)[:m.prior.max_support_slices], y_hat, i)
             return model.apply({"params": params}, method=inner)
 
-        return jax.jit(run)
+        return self._pjit(run)
 
     def _tail_fill_fn(self, k: int):
         """Mean-fill completion for a progressive decode stopped after k
@@ -418,7 +440,7 @@ class CodecIO:
                     return jnp.concatenate(tail, axis=-1)
                 return model.apply({"params": params}, method=inner)
 
-        fn = jax.jit(run)
+        fn = self._pjit(run)
         with self._variant_lock:
             return self._tail_fns.setdefault(k, fn)
 
@@ -438,7 +460,7 @@ class CodecIO:
                 return jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
             return model.apply({"params": params}, method=inner)
 
-        return jax.jit(run)
+        return self._pjit(run)
 
     # ----------------------------------------------------------- public
 
@@ -473,12 +495,12 @@ class CodecIO:
                 gate_host = np.asarray(jax.device_get(me[2])) > 0
                 args = (jnp.asarray(gate_host),) + args
             syms_d, idxs_d, z_d, z_shape = \
-                self._compress_variant(rg, dzd)(self.params, *pre, *args)
+                self._compress_variant(rg, dzd)(self._fp.flat, *pre, *args)
         else:
             args = (jnp.asarray(mask),)
             batch = mask.shape[0]
             syms_d, idxs_d, z_d, z_shape = \
-                self._compress_variant(False, dzd)(self.params, *pre, *args)
+                self._compress_variant(False, dzd)(self._fp.flat, *pre, *args)
 
         t = self.eb_tables
         shape = tuple(int(s) for s in jax.device_get(z_shape)[1:3])
@@ -578,7 +600,7 @@ class CodecIO:
         z_sym = np.concatenate(list(self._pool.map(decode_z, range(batch))))
         z_hat = self._put(z_sym + t["medians"][None, None, None, :])
 
-        lm, ls = self._hyper_decode_fn(self.params, z_hat)
+        lm, ls = self._hyper_decode_fn(self._fp.flat, z_hat)
         decoders = [rans.RansDecoder(c["strings"][0]) for c in compressed]
 
         def decode_slice(args):
@@ -601,7 +623,7 @@ class CodecIO:
         # a corrupt stream raises below; RansDecoder.close is idempotent
         try:
             if k == 0:
-                y_hat = self._tail_fill_fn(0)(self.params, lm, ls)
+                y_hat = self._tail_fill_fn(0)(self._fp.flat, lm, ls)
                 yield
                 return y_hat
             # tail split: slices 0..serial-1 decode through the strictly
@@ -611,7 +633,7 @@ class CodecIO:
                                             k > self.max_support) else 0
             serial = k - tail
             mu_tail = idx_tail = None
-            mu, index = self._first_stats_fn(self.params, lm, ls)
+            mu, index = self._first_stats_fn(self._fp.flat, lm, ls)
             yield  # hyper decode + slice-0 stats enqueued; let siblings run
             for i in range(serial):
                 # uint8 down, int16 up — the tunnel pays per byte
@@ -628,18 +650,18 @@ class CodecIO:
                 sym_dev = self._put(np.concatenate(syms).astype(np.int16))
                 if i + 1 < serial:
                     y_prev, mu, index = self._step_fns[i + 1](
-                        self.params, lm, ls, sym_dev, mu, *y_hats)
+                        self._fp.flat, lm, ls, sym_dev, mu, *y_hats)
                     y_hats.append(y_prev)
                 elif tail:
                     y_prev, mu_tail, idx_tail = self._tail_stats_fn(
-                        self.params, lm, ls, sym_dev, mu, *y_hats)
+                        self._fp.flat, lm, ls, sym_dev, mu, *y_hats)
                     y_hats.append(y_prev)
                 elif k < self.num_slices:
                     y_hats.append(self._tail_fill_fn(k)(
-                        self.params, lm, ls, sym_dev, mu, *y_hats))
+                        self._fp.flat, lm, ls, sym_dev, mu, *y_hats))
                 else:
                     y_hats.append(self._last_finish_fn(
-                        self.params, lm, sym_dev, mu, *y_hats))
+                        self._fp.flat, lm, sym_dev, mu, *y_hats))
                 yield  # slice i finished + next stats enqueued
             if tail:
                 # ONE fetch for every tail slice's indexes, then each image's
@@ -656,7 +678,7 @@ class CodecIO:
                     np.concatenate(syms, axis=1).astype(np.int16),
                     batch_axis=1)
                 y_hats.append(self._tail_assemble_fn(tail)(
-                    self.params, lm, sym_dev, mu_tail, *y_hats))
+                    self._fp.flat, lm, sym_dev, mu_tail, *y_hats))
                 yield  # tail finished in one dispatch
             return jnp.concatenate(y_hats, axis=-1)
         finally:
@@ -696,9 +718,9 @@ class CodecIO:
         if self.kind == "rgb":
             if md is None:
                 md = mask_pyramid(jnp.asarray(mask))
-            x_hat = self._decode_image_fn(self.params, y_hat, md[1], md[2])
+            x_hat = self._decode_image_fn(self._fp.flat, y_hat, md[1], md[2])
         else:
-            x_hat = self._decode_image_fn(self.params, y_hat)
+            x_hat = self._decode_image_fn(self._fp.flat, y_hat)
         return x_hat if device else np.asarray(jax.device_get(x_hat))
 
     def decompress_batch_with_latent(self, compressed: Sequence[dict],

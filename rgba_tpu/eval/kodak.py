@@ -23,8 +23,44 @@ from ..data.datasets import KodakDataset
 from ..metrics.ms_ssim import ms_ssim
 from ..ops.mask_pyramid import mask_pyramid
 from ..ops.morphology import constraint_rgb
+from ..utils.flatparams import FlatParams
 
 logger = logging.getLogger("rgba_tpu")
+
+
+class _FlatCall:
+    """Wraps a jitted `fn(flat, *args)` so callers pass param TREES.
+
+    Params cross into the executable as ONE flat buffer
+    (utils/flatparams.py — the axon tunnel charges per runtime argument
+    buffer, so a 772-leaf tree as jit args collapses throughput ~30x).
+    The pack is cached by tree identity: the per-image eval loop pays the
+    ravel once per checkpoint, and checkpoint swaps repack WITHOUT
+    retracing (tree structure unchanged). The unravel lives in `self.fp`,
+    read at trace time by the builders below."""
+
+    def __init__(self):
+        self.fp = None
+        self._held = None
+        self.fn = None  # set by the builder after tracing closure exists
+
+    def _same(self, tree) -> bool:
+        h = self._held
+        if h is tree:
+            return h is not None
+        # multi-tree packs arrive as fresh tuples — compare element-wise
+        return (isinstance(h, tuple) and isinstance(tree, tuple)
+                and len(h) == len(tree)
+                and all(a is b for a, b in zip(h, tree)))
+
+    def __call__(self, params_tree, *args):
+        if not self._same(params_tree):
+            if self.fp is None:
+                self.fp = FlatParams(params_tree)
+            else:
+                self.fp.repack(params_tree)
+            self._held = params_tree  # identity cache (keeps tree alive)
+        return self.fn(self.fp.flat, *args)
 
 
 def _save_rgba(path: str, rgb: np.ndarray, alpha: Optional[np.ndarray]):
@@ -47,15 +83,18 @@ def _make_codec_forward(rgb_model):
     if hit is not None and hit[0] is rgb_model:
         return hit[1]
 
-    def _codec_forward(params, x, m):
+    fc = _FlatCall()
+
+    def _codec_forward(flat, x, m):
+        params = fc.fp.unravel(flat)
         me = mask_pyramid(m)
         r = rgb_model.apply({"params": params}, x, m, m, me,
                             training=False)
         return jnp.clip(r["x_hat"], 0.0, 1.0)
 
-    fn = jax.jit(_codec_forward)
-    _CODEC_FWD_CACHE[id(rgb_model)] = (rgb_model, fn)
-    return fn
+    fc.fn = jax.jit(_codec_forward)
+    _CODEC_FWD_CACHE[id(rgb_model)] = (rgb_model, fc)
+    return fc
 
 
 def make_eval_step(rgb_model, mask_model):
@@ -77,8 +116,10 @@ def make_eval_step(rgb_model, mask_model):
 
 
 def _make_eval_step(rgb_model, mask_model):
+    fc = _FlatCall()
 
-    def step(rgb_params, mask_params, masked_input, mask):
+    def step(flat, masked_input, mask):
+        rgb_params, mask_params = fc.fp.unravel(flat)
         me = mask_pyramid(mask)
         m = mask_model.apply({"params": mask_params}, mask, training=False)
         recon_mask = jnp.clip(m["x_hat"], 0.0, 1.0)
@@ -100,7 +141,12 @@ def _make_eval_step(rgb_model, mask_model):
             "msssim": msssim,
         }
 
-    return jax.jit(step)
+    fc.fn = jax.jit(step)
+
+    def call(rgb_params, mask_params, masked_input, mask):
+        return fc((rgb_params, mask_params), masked_input, mask)
+
+    return call
 
 
 def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,

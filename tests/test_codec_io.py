@@ -106,11 +106,11 @@ def test_tail_parallel_decode_bit_identical():
                                  rate_gate=rg)
         for kw in ({}, {"interleave": 2}, {"max_slices": 7},
                    {"max_slices": 5}, {"max_slices": 3}):
-            a, ya = io.decompress_batch(comp, mask=np.asarray(mask),
-                                        rate_gate=rg, return_latent=True,
-                                        tail_parallel=True, **kw)
-            b, yb = io.decompress_batch(comp, mask=np.asarray(mask),
-                                        rate_gate=rg, return_latent=True,
-                                        tail_parallel=False, **kw)
+            a, ya = io.decompress_batch_with_latent(
+                comp, mask=np.asarray(mask), rate_gate=rg,
+                tail_parallel=True, **kw)
+            b, yb = io.decompress_batch_with_latent(
+                comp, mask=np.asarray(mask), rate_gate=rg,
+                tail_parallel=False, **kw)
             np.testing.assert_array_equal(ya, yb, err_msg=f"rg={rg} {kw}")
             np.testing.assert_array_equal(a, b, err_msg=f"rg={rg} {kw}")

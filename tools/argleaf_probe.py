@@ -16,6 +16,7 @@ bigprog_probe's collapsed config (batch 16 @ 256x384, params as args,
 Run: PYTHONPATH=/root/.axon_site:/root/repo python -u tools/argleaf_probe.py
 """
 
+import os
 import time
 
 import jax
@@ -36,6 +37,7 @@ def report(name, fn, inputs, iters=3):
 
 
 def main():
+    arms = os.environ.get("ARMS", "ABC")
     print(jax.devices(), flush=True)
     from rgba_tpu.core.precision import BF16_POLICY
     from rgba_tpu.data.synthetic import synthetic_rgba_batch
@@ -65,28 +67,31 @@ def main():
 
     xs = data()
 
-    # A) baseline: params as a pytree of args
-    report("A args-tree ", jax.jit(fwd), [(params,) + x for x in xs])
+    if "A" in arms:
+        # A) baseline: params as a pytree of args
+        report("A args-tree ", jax.jit(fwd), [(params,) + x for x in xs])
 
-    # B) params raveled to one flat buffer, unravel traced inside jit
-    flat, unravel = ravel_pytree(params)
-    flat = jax.device_put(flat)
-    report("B args-flat ", jax.jit(lambda f, x, m: fwd(unravel(f), x, m)),
-           [(flat,) + x for x in xs])
+    if "B" in arms:
+        # B) params raveled to one flat buffer, unravel traced inside jit
+        flat, unravel = ravel_pytree(params)
+        flat = jax.device_put(flat)
+        report("B args-flat ", jax.jit(lambda f, x, m: fwd(unravel(f), x, m)),
+               [(flat,) + x for x in xs])
 
-    # C) trainer-style: params donated, passed through the output
-    step = jax.jit(lambda p, x, m: (p, fwd(p, x, m)[1]), donate_argnums=(0,))
-    p = jax.device_put(params)  # fresh copy we may consume
-    t0 = time.time()
-    p, bpp = step(p, *xs[0])
-    float(bpp[0])
-    t0 = time.perf_counter()
-    iters = 3
-    for i in range(iters):
-        p, bpp = step(p, *xs[i % 2])
-    float(bpp[0])
-    print(f"C donated   : {(time.perf_counter() - t0) / iters * 1000:.1f} "
-          f"ms/call", flush=True)
+    if "C" in arms:
+        # C) trainer-style: params donated, passed through the output
+        step = jax.jit(lambda p, x, m: (p, fwd(p, x, m)[1]),
+                       donate_argnums=(0,))
+        p = jax.device_put(params)  # fresh copy we may consume
+        p, bpp = step(p, *xs[0])
+        float(bpp)  # sync: compile + warmup done
+        t0 = time.perf_counter()
+        iters = 3
+        for i in range(iters):
+            p, bpp = step(p, *xs[i % 2])
+        float(bpp)
+        print(f"C donated   : {(time.perf_counter() - t0) / iters * 1000:.1f} "
+              f"ms/call", flush=True)
 
 
 if __name__ == "__main__":

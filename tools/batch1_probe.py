@@ -42,16 +42,23 @@ def main():
     d0 = synthetic_rgba_batch(1, H, W, seed=0)
     # init via a default-policy twin: params are policy-independent and
     # the serve policy's fused routing can't lower on the CPU backend
-    params = jax.device_put(cpu_init(
+    # ONE flat param buffer (utils/flatparams.py): the axon tunnel
+    # charges ~14 ms per runtime argument buffer, so the 772-leaf tree
+    # as jit args would measure the collapsed config, not the serving
+    # path (PERFORMANCE.md round-4)
+    from rgba_tpu.utils.flatparams import FlatParams
+    fp = FlatParams(cpu_init(
         RGBAPipeline(), {"params": rng, "noise": rng},
         d0["masked_image"], d0["alpha"], training=False)["params"])
+    params = fp.flat
 
     @jax.jit
     def fwd(p, x, m):
-        return model.apply({"params": p}, x, m, training=False)
+        return model.apply({"params": fp.unravel(p)}, x, m, training=False)
 
     fwd_donated = jax.jit(
-        lambda p, x, m: model.apply({"params": p}, x, m, training=False),
+        lambda p, x, m: model.apply({"params": fp.unravel(p)}, x, m,
+                                    training=False),
         donate_argnums=(1, 2))
 
     rows = []
