@@ -98,8 +98,9 @@ def test_codec_rate_gate_stream_consistency():
 
     # oracle stream: same gated symbols, but every position coded
     gate_dev = jnp.asarray(np.asarray(jax.device_get(me[2])) > 0)
+    # the jitted passes take params as ONE flat buffer (utils/flatparams.py)
     syms, idxs, z_sym, z_shape = jax.device_get(io._compress_fn_gated(
-        io.params, gate_dev, x, mask, me[1], me[2]))
+        io._fp.flat, gate_dev, x, mask, me[1], me[2]))
     y_full = rans.encode_with_indexes(
         syms[:, 0].astype(np.int32).ravel(),
         idxs[:, 0].astype(np.int32).ravel(),

@@ -31,6 +31,10 @@ from rgba_tpu.models.pipeline import RGBAPipeline
 from rgba_tpu.utils.benchmark import device_time
 
 H, W = 512, 768
+# each batch size is its own multi-minute remote compile under the
+# tunnel — PROBE_BATCHES=1,4 runs a slim ladder when time is short
+BATCHES = tuple(int(b) for b in
+                os.environ.get("PROBE_BATCHES", "1,2,4,8,16").split(","))
 
 
 def main():
@@ -62,7 +66,7 @@ def main():
         donate_argnums=(1, 2))
 
     rows = []
-    for b in (1, 2, 4, 8, 16):
+    for b in BATCHES:
         ins = []
         for s in range(3):
             d = synthetic_rgba_batch(b, H, W, seed=s)
