@@ -210,6 +210,23 @@ def main():
     # (kills are by-PID only: tools/watchdog.sh --kill-stale)
     clients = other_tpu_clients()
     if clients and os.environ.get("BENCH_IGNORE_CLIENTS") != "1":
+        # first cure, then refuse: pidfile-TRACKED jobs (watchdogged
+        # sweeps/probes) are killed BY RECORDED PID via --kill-stale, so
+        # the official round-end capture is never blocked by a resumable
+        # job this repo launched itself.  Anything still alive after
+        # that is untracked/unknown — refuse rather than guess.
+        import subprocess
+        wd = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "watchdog.sh")
+        print("# concurrent TPU clients found - killing pidfile-tracked "
+              "jobs (tools/watchdog.sh --kill-stale)", flush=True)
+        subprocess.run(["bash", wd, "--kill-stale"], check=False)
+        for _ in range(12):
+            time.sleep(5)
+            clients = other_tpu_clients()
+            if not clients:
+                break
+    if clients and os.environ.get("BENCH_IGNORE_CLIENTS") != "1":
         for pid, cmd in clients:
             print(f"# concurrent TPU client pid={pid}: {cmd}", flush=True)
         raise SystemExit(

@@ -25,13 +25,17 @@
 # CMD exits 0; relaunch (resume) on kill or nonzero exit, up to
 # MAX_RESTARTS times.  Kills are BY PID only (never by pattern).
 set -u
-PIDDIR="$(cd "$(dirname "$0")/.." && pwd)/.watchdog"
+# WATCHDOG_PIDDIR override: tests exercise kill-stale in an isolated
+# dir so a pytest run never kills a live watchdogged TPU job
+PIDDIR="${WATCHDOG_PIDDIR:-$(cd "$(dirname "$0")/.." && pwd)/.watchdog}"
 
 if [ "${1:-}" = "--kill-stale" ]; then
   shopt -s nullglob
   for f in "$PIDDIR"/*.pid; do
     read -r WPID CPID < "$f" || true
-    for P in ${CPID:-} ${WPID:-}; do
+    # watchdog FIRST: killing the child first gives the watchdog a
+    # window to relaunch it (child-exit -> sleep 10 -> resume)
+    for P in ${WPID:-} ${CPID:-}; do
       if kill -0 "$P" 2>/dev/null; then
         echo "killing stale pid $P (from $f)"
         kill "$P" 2>/dev/null; sleep 2; kill -9 "$P" 2>/dev/null
@@ -53,11 +57,21 @@ while :; do
   PID=$!
   echo "$$ $PID" > "$PIDFILE"
   echo "[watchdog $(date +%H:%M:%S)] launched pid $PID (restart $restarts)" >> "$LOG"
-  while kill -0 "$PID" 2>/dev/null; do
+  # running = alive AND not a zombie: the child is OUR child, so after
+  # it exits kill -0 keeps succeeding on the zombie until we wait() —
+  # without the state check a finished run sits a full STALL window
+  running() {
+    kill -0 "$1" 2>/dev/null || return 1
+    [ "$(sed 's/.*) //' "/proc/$1/stat" 2>/dev/null | cut -d' ' -f1)" != Z ]
+  }
+  while running "$PID"; do
     T0=$(ps -o time= -p "$PID" 2>/dev/null | tr -d ' ')
     S0=$(stat -c %s "$LOG")
-    sleep "$STALL"
-    kill -0 "$PID" 2>/dev/null || break
+    slept=0  # STALL sliced into 5 s polls: child exit is seen promptly
+    while [ "$slept" -lt "$STALL" ] && running "$PID"; do
+      sleep 5; slept=$((slept + 5))
+    done
+    running "$PID" || break
     T1=$(ps -o time= -p "$PID" 2>/dev/null | tr -d ' ')
     S1=$(stat -c %s "$LOG")
     if [ "$T0" = "$T1" ] && [ "$S0" = "$S1" ]; then
