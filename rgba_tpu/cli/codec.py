@@ -182,7 +182,7 @@ def _encode_dir(codec, src_dir, dst_dir, batch, bbox=False, rate_gate=False,
           f"({total_in / max(total_out, 1):.1f}x vs source files)")
 
 
-def _decode_dir(codec, src_dir, dst_dir, batch, interleave=1):
+def _decode_dir(codec, src_dir, dst_dir, batch, interleave=None):
     from ..eval.container import unpack_rgba
     from ..eval.pipeline import PipelinedCodec
     paths = sorted(glob.glob(os.path.join(src_dir, "*.rgbc")))
@@ -261,12 +261,14 @@ def main(argv=None):
                         "distinct size; pairs well with --rate-gate, which "
                         "codes the padding for free). 0 = exact /64 "
                         "padding only")
-    p.add_argument("--interleave", type=int, default=1,
+    p.add_argument("--interleave", type=int, default=None,
                    help="decode-dir: split each batch into this many "
                         "sub-chains driven together, hiding one chain's "
                         "host rANS under another's device dispatches "
                         "(bit-identical to serial; each sub-batch size "
-                        "compiles its own slice executables once)")
+                        "compiles its own slice executables once). "
+                        "Default: auto — 2 for batches 2-8, else 1 "
+                        "(measured optimum)")
     p.add_argument("--preview-slices", type=int, default=None,
                    help="decode only the first K of the 10 RGB latent "
                         "slices and mean-fill the rest — a fast "
@@ -280,10 +282,11 @@ def main(argv=None):
         if not 0 <= args.preview_slices <= 10:
             p.error("--preview-slices must be in [0, 10] "
                     f"(got {args.preview_slices})")
-    if args.interleave != 1 and args.command != "decode-dir":
-        p.error("--interleave only applies to the `decode-dir` command")
-    if args.interleave < 1:
-        p.error(f"--interleave must be >= 1 (got {args.interleave})")
+    if args.interleave is not None:
+        if args.command != "decode-dir":
+            p.error("--interleave only applies to the `decode-dir` command")
+        if args.interleave < 1:
+            p.error(f"--interleave must be >= 1 (got {args.interleave})")
 
     codec = _load_codecs(args.rgb_model, args.mask_model)
 

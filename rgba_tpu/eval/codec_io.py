@@ -688,14 +688,21 @@ class CodecIO:
     def decompress_chains(self, compressed: Sequence[dict],
                           gate_host: Optional[np.ndarray] = None,
                           max_slices: Optional[int] = None,
-                          interleave: int = 1,
+                          interleave: Optional[int] = None,
                           tail_parallel: bool = True) -> List:
         """Split `compressed` into up to `interleave` contiguous sub-batch
         groups and return one decompress_chain per group (callers
         concatenate the chain results in order to recover the batch).
         The container uses this to put the RGB codec's chains and the mask
-        codec's chain under one ``drive_chains`` loop."""
+        codec's chain under one ``drive_chains`` loop.
+
+        interleave=None (default) auto-picks from the round-4 warm ladder
+        (PERFORMANCE.md): 2 sub-chains for batches 2-8 (+74% measured at
+        batch 8), 1 elsewhere (extra sub-chains only add dispatch fees
+        once the pipe is full)."""
         batch = len(compressed)
+        if interleave is None:
+            interleave = 2 if 2 <= batch <= 8 else 1
         groups = [slice(0, batch)]
         if interleave > 1 and batch >= 2:
             bb = np.linspace(0, batch, min(int(interleave), batch) + 1)
@@ -737,7 +744,7 @@ class CodecIO:
                          rate_gate: Optional[bool] = None,
                          max_slices: Optional[int] = None,
                          _return_latent: bool = False,
-                         interleave: int = 1,
+                         interleave: Optional[int] = None,
                          tail_parallel: bool = True,
                          ) -> "np.ndarray | jax.Array":
         """Batched decompress of same-shaped streams. The slice loop runs
@@ -749,7 +756,9 @@ class CodecIO:
         sub-batch g+1's device stats — intra-batch latency hiding on top
         of PipelinedCodec's cross-batch overlap.  Each sub-batch size
         compiles its own slice executables (one-time per serving
-        process); results are identical, streams untouched.
+        process); results are identical, streams untouched.  The default
+        (None) auto-picks G=2 for batches 2-8, G=1 elsewhere — the
+        measured round-4 ladder optimum (PERFORMANCE.md).
 
         device=True returns the reconstruction as a device array (no host
         fetch) so callers can keep post-processing on-chip — the container

@@ -273,7 +273,7 @@ class RGBAFileCodec:
     def decode_batch(self, blobs: list[bytes],
                      output: str = "float32",
                      max_slices: int | None = None,
-                     interleave: int = 1) -> np.ndarray:
+                     interleave: int | None = None) -> np.ndarray:
         """Decode B same-shaped container blobs; returns (B, H, W, 4).
 
         The two codecs' slice chains are driven TOGETHER (drive_chains):
@@ -286,7 +286,8 @@ class RGBAFileCodec:
         enqueued on the single device stream.  interleave=G>1 additionally
         splits the RGB batch into G sub-chains (see
         CodecIO.decompress_batch; each sub-batch size compiles its own
-        slice executables once per process).
+        slice executables once per process); None auto-picks G=2 for
+        batches 2-8, G=1 elsewhere (round-4 measured ladder).
 
         output="uint8" fetches the 8-bit quantized RGBA (the PNG-writing
         contract of the reference eval, trainRGB.py:300-311) — a quarter
