@@ -174,14 +174,30 @@ def measure_forward() -> dict:
     xh, bpp = eval_step(fp.flat, xs[0], masks[0])
     float(jax.device_get(bpp))
 
+    # model FLOPs from XLA's own cost analysis (compiler estimate, not a
+    # guess) so the record carries achieved TF/s — self-normalizing
+    # against degraded chips alongside the chip_health canary
+    try:
+        cost = (jax.jit(eval_step)
+                .lower(fp.flat, xs[0], masks[0]).compile().cost_analysis())
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        model_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        model_flops = None
+
     t0 = time.perf_counter()
     for i in range(iters):
         xh, bpp = eval_step(fp.flat, xs[i % len(xs)], masks[i % len(xs)])
     float(jax.device_get(bpp))
     dt = time.perf_counter() - t0
 
-    return {"value": round(batch * iters / dt, 4),
-            "unit": "images/sec/chip", "batch": batch}
+    out = {"value": round(batch * iters / dt, 4),
+           "unit": "images/sec/chip", "batch": batch}
+    if model_flops:
+        out["achieved_tflops"] = round(model_flops * iters / dt / 1e12, 2)
+        out["model_gflops_per_batch"] = round(model_flops / 1e9, 1)
+    return out
 
 
 def _published_ratio(value: float):
@@ -206,21 +222,44 @@ def main():
     from rgba_tpu.utils.health import chip_health, other_tpu_clients
 
     # one-client rule (CLAUDE.md): a concurrent rgba_tpu TPU process
-    # wedges the tunnel and poisons the measurement — refuse, don't kill
-    # (kills are by-PID only: tools/watchdog.sh --kill-stale)
+    # wedges the tunnel and poisons the measurement.  Cure narrowly,
+    # then refuse: only pidfile-TRACKED jobs whose RECORDED PIDs are
+    # among the detected clients are killed (by recorded PID — the
+    # resumable job this repo launched itself and can resume later);
+    # unrelated tracked jobs are left alone and untracked clients are
+    # never guessed at — for those, refuse (ADVICE r4).
     clients = other_tpu_clients()
     if clients and os.environ.get("BENCH_IGNORE_CLIENTS") != "1":
-        # first cure, then refuse: pidfile-TRACKED jobs (watchdogged
-        # sweeps/probes) are killed BY RECORDED PID via --kill-stale, so
-        # the official round-end capture is never blocked by a resumable
-        # job this repo launched itself.  Anything still alive after
-        # that is untracked/unknown — refuse rather than guess.
-        import subprocess
-        wd = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "watchdog.sh")
-        print("# concurrent TPU clients found - killing pidfile-tracked "
-              "jobs (tools/watchdog.sh --kill-stale)", flush=True)
-        subprocess.run(["bash", wd, "--kill-stale"], check=False)
+        client_pids = {pid for pid, _ in clients}
+        piddir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".watchdog")
+        import glob
+        import signal
+        for f in glob.glob(os.path.join(piddir, "*.pid")):
+            try:
+                with open(f) as fh:
+                    pids = [int(p) for p in fh.read().split()]
+            except (OSError, ValueError):
+                continue
+            if not client_pids.intersection(pids):
+                continue  # tracked job unrelated to the detected clients
+            print(f"# killing pidfile-tracked TPU job {pids} (from {f})",
+                  flush=True)
+            for p in pids:  # watchdog first, then child (no relaunch)
+                try:
+                    os.kill(p, signal.SIGTERM)
+                except OSError:
+                    pass
+            time.sleep(2)
+            for p in pids:
+                try:
+                    os.kill(p, signal.SIGKILL)
+                except OSError:
+                    pass
+            try:
+                os.remove(f)
+            except OSError:
+                pass
         for _ in range(12):
             time.sleep(5)
             clients = other_tpu_clients()

@@ -267,7 +267,7 @@ def main(argv=None):
                         "host rANS under another's device dispatches "
                         "(bit-identical to serial; each sub-batch size "
                         "compiles its own slice executables once). "
-                        "Default: auto — 2 for batches 2-8, else 1 "
+                        "Default: auto — 2 for even batches 4-8, else 1 "
                         "(measured optimum)")
     p.add_argument("--preview-slices", type=int, default=None,
                    help="decode only the first K of the 10 RGB latent "

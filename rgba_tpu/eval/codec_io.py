@@ -697,12 +697,17 @@ class CodecIO:
         codec's chain under one ``drive_chains`` loop.
 
         interleave=None (default) auto-picks from the round-4 warm ladder
-        (PERFORMANCE.md): 2 sub-chains for batches 2-8 (+74% measured at
-        batch 8), 1 elsewhere (extra sub-chains only add dispatch fees
-        once the pipe is full)."""
+        (PERFORMANCE.md): 2 sub-chains for even batches 4-8 (+45% measured
+        at batch 8 vs the prior tail-parallel interleave=1 default; +74%
+        vs plain serial), 1 elsewhere.  The auto rule is restricted to
+        even batches >=4 so both sub-chains keep equal size >=2 — odd
+        batches would compile two distinct slice executables per process
+        (multi-minute remote compiles each) and batches 2-3 would pay a
+        doubled per-sync tunnel fee on size-1 sub-chains that was never
+        measured (ADVICE r4)."""
         batch = len(compressed)
         if interleave is None:
-            interleave = 2 if 2 <= batch <= 8 else 1
+            interleave = 2 if batch in (4, 6, 8) else 1
         groups = [slice(0, batch)]
         if interleave > 1 and batch >= 2:
             bb = np.linspace(0, batch, min(int(interleave), batch) + 1)
@@ -757,8 +762,9 @@ class CodecIO:
         of PipelinedCodec's cross-batch overlap.  Each sub-batch size
         compiles its own slice executables (one-time per serving
         process); results are identical, streams untouched.  The default
-        (None) auto-picks G=2 for batches 2-8, G=1 elsewhere — the
-        measured round-4 ladder optimum (PERFORMANCE.md).
+        (None) auto-picks G=2 for even batches 4-8, G=1 elsewhere — the
+        measured round-4 ladder optimum (PERFORMANCE.md), narrowed to
+        equal sub-batches >=2 per ADVICE r4.
 
         device=True returns the reconstruction as a device array (no host
         fetch) so callers can keep post-processing on-chip — the container

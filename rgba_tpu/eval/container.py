@@ -287,7 +287,8 @@ class RGBAFileCodec:
         splits the RGB batch into G sub-chains (see
         CodecIO.decompress_batch; each sub-batch size compiles its own
         slice executables once per process); None auto-picks G=2 for
-        batches 2-8, G=1 elsewhere (round-4 measured ladder).
+        even batches 4-8, G=1 elsewhere (round-4 measured ladder,
+        narrowed per ADVICE r4).
 
         output="uint8" fetches the 8-bit quantized RGBA (the PNG-writing
         contract of the reference eval, trainRGB.py:300-311) — a quarter

@@ -73,6 +73,10 @@ def test_kill_stale_kills_watchdog_then_child(tmp_path):
 def test_watchdog_resumes_nonzero_exit_then_exits_clean(tmp_path):
     log = tmp_path / "flaky.log"
     state = tmp_path / "state"
+    # isolated piddir: without it a timeout SIGKILL (which skips the EXIT
+    # trap) would leave a stale pidfile in the repo's real .watchdog/
+    # for a later bench pre-flight to act on (ADVICE r4)
+    env = dict(os.environ, WATCHDOG_PIDDIR=str(tmp_path / "pids"))
     # fails on first launch, succeeds on second — models a wedged run
     # resumed from its checkpoint
     script = tmp_path / "flaky.sh"
@@ -83,7 +87,7 @@ def test_watchdog_resumes_nonzero_exit_then_exits_clean(tmp_path):
     script.chmod(0o755)
     rc = subprocess.run(
         ["bash", WD, str(log), "10000", "3", "bash", str(script)],
-        timeout=60).returncode
+        timeout=60, env=env).returncode
     assert rc == 0
     text = log.read_text()
     assert "first-fail" in text and "second-ok" in text

@@ -1,7 +1,8 @@
 """Round-4 verify drive: the auto-interleave decode default on real TPU.
 
-decompress_chains(interleave=None) now auto-picks 2 sub-chains for
-batches 2-8 (the measured round-4 ladder optimum, PERFORMANCE.md).
+decompress_chains(interleave=None) auto-picks 2 sub-chains for even
+batches 4-8 (the measured round-4 ladder optimum, PERFORMANCE.md;
+narrowed per ADVICE r4).
 This drives the FULL container encode->decode on the chip at batch 4
 and asserts the auto default is byte-identical to explicit
 interleave=1 (serial) and interleave=2, and that the reconstruction is
@@ -63,9 +64,15 @@ def main():
     assert auto.min() >= 0.0 and auto.max() <= 1.0, (auto.min(), auto.max())
     np.testing.assert_array_equal(auto, two)   # default took the G=2 path
     np.testing.assert_array_equal(auto, ser)   # ... bit-identical to serial
-    # large-batch default stays serial-compatible too: batch 1 edge
+    # batch-1 edge: decodes, finite, and close to the batch-4 result.
+    # NOT asserted bit-identical: batch-1 and batch-4 slice executables
+    # are DIFFERENT XLA programs and may legally reorder reductions
+    # (ADVICE r4) — exact equality is only guaranteed within a batch
+    # shape, which the asserts above pin.
     one = codec.decode_batch(blobs[:1])
-    np.testing.assert_array_equal(one, auto[:1])
+    assert np.isfinite(one).all()
+    err = np.abs(one - auto[:1]).max()
+    assert err <= 1.5 / 255.0, f"batch-1 vs batch-4 decode diverged: {err}"
     print("VERIFY_AUTO_INTERLEAVE_OK", flush=True)
 
 
