@@ -1,0 +1,261 @@
+"""On-device rANS decode: the TPU-native answer to the AR decode loop.
+
+The channel-autoregressive decode's irreducible cost in the host-coder
+design is one host<->device round trip per serial slice (the host must
+see slice i's indexes before it can rANS-decode slice i's bytes) — 11
+syncs per RGBA decode, ~38 ms each under the axon tunnel
+(PERFORMANCE.md round-4 batch-1 ladder).  This module removes the host
+from the loop entirely: the bitstream itself is uploaded once and
+DECODED ON THE TPU inside the same jit program that runs the stats
+convs, so the entire mask + RGB decode is a handful of dispatches with
+no index round trips at all.
+
+Format (produced by ``native/rans.rans32_encode_lanes``): each image
+stream is L independent 32-bit rANS lanes (state in [2^16, 2^32),
+16-bit renorm words, the same 16-bit quantized CDFs + 4-bit bypass
+escape as the 64-bit host coder).  Symbols are assigned to lanes per
+SEGMENT (z latent first, then each y slice in decode order): within a
+segment, flat position p maps to lane (p % L), step (p // L).  A
+``lax.scan`` step decodes one symbol in every lane of every image —
+(B, L) symbols per step, pure VPU integer work — and the scan carry
+(state, ptr) flows across segments so one lane set serves the whole
+stream.
+
+Rate-gated cells and tail positions (n % L != 0) are MASKED steps: the
+encoder emits no ops for them and the decoder advances nothing
+(``active``).  Bypass escapes are decoded with a bounded masked loop:
+raw values are int32 so at most 8 four-bit chunks and exactly one count
+chunk exist (the count chain in the host coder only continues at
+n_bypass >= 15, unreachable for 32-bit raw values).
+
+Reference analog: compressai's RansDecoder.decode_stream consumed on
+the host per slice (AutoEncoderRGB_Journal.py:390-410); here decoding
+is a device primitive so channel autoregression stays on-chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+PRECISION = 16
+_MASK16 = (1 << 16) - 1
+_L32 = 1 << 16
+_BYPASS_BITS = 4
+_MAX_BYPASS_CHUNKS = 8  # 32-bit raw values need at most 8 4-bit chunks
+
+
+def pack_tables(cdfs, cdf_lengths, offsets, pad_cols: int = 0) -> dict:
+    """Device-friendly CDF tables: rows padded with 2^16 so the
+    symbol search ``sum(cdf[1:] <= cum)`` never walks past a row's
+    valid length (cum < 2^16 always).  Returns plain numpy; callers
+    upload/pack as they see fit."""
+    cdfs = np.asarray(cdfs, dtype=np.int32)
+    lens = np.asarray(cdf_lengths, dtype=np.int32)
+    offs = np.asarray(offsets, dtype=np.int32)
+    cols = max(int(cdfs.shape[1]), int(pad_cols))
+    padded = np.full((cdfs.shape[0], cols), 1 << PRECISION, dtype=np.int32)
+    for r in range(cdfs.shape[0]):
+        n = int(lens[r])
+        padded[r, :n] = cdfs[r, :n]
+        # entries past the row's length stay 2^16 (= cdf[len-1]), so the
+        # count-based search saturates at len-2 exactly
+    return {"cdfs": padded, "max_values": lens - 2, "offsets": offs}
+
+
+def _renorm(words, state, ptr, need):
+    """Masked 16-bit renorm: lanes with ``need`` read words[ptr]."""
+    w = words[jnp.clip(ptr, 0, words.shape[0] - 1)].astype(jnp.uint32)
+    state = jnp.where(need, (state << 16) | w, state)
+    return state, ptr + need.astype(jnp.int32)
+
+
+def _get_bits(words, state, ptr, act, nbits):
+    """Masked bypass bit read (mirrors the host dec_get_bits)."""
+    val = jnp.where(act, (state & ((1 << nbits) - 1)).astype(jnp.int32), 0)
+    state = jnp.where(act, state >> nbits, state)
+    state, ptr = _renorm(words, state, ptr, act & (state < _L32))
+    return val, state, ptr
+
+
+def decode_segment(tables: dict, words, state, ptr, indexes, active):
+    """Decode one segment: ``indexes``/``active`` are (T, ..., L) with
+    the scan over T; ``state``/``ptr`` are (..., L) carries from the
+    previous segment (or ``init_lanes``).  Returns (symbols, state, ptr)
+    with symbols shaped like ``indexes`` (masked steps decode 0).
+
+    All arithmetic is uint32 with int32 table values — bit-exact with
+    the C++ twin ``rans32_decode_lanes`` (pinned in tests)."""
+    cdfs = tables["cdfs"]
+    max_values = tables["max_values"]
+    offsets = tables["offsets"]
+
+    def step(carry, inp):
+        state, ptr = carry
+        idx, act = inp
+        cdf = cdfs[idx]                       # (..., L, C)
+        cum = (state & _MASK16).astype(jnp.int32)
+        value = jnp.sum((cdf[..., 1:] <= cum[..., None]),
+                        axis=-1).astype(jnp.int32)
+        start = jnp.take_along_axis(cdf, value[..., None], axis=-1)[..., 0]
+        nxt = jnp.take_along_axis(cdf, value[..., None] + 1, axis=-1)[..., 0]
+        freq = (nxt - start).astype(jnp.uint32)
+        new_state = (freq * (state >> PRECISION)
+                     + cum.astype(jnp.uint32) - start.astype(jnp.uint32))
+        state = jnp.where(act, new_state, state)
+        state, ptr = _renorm(words, state, ptr, act & (state < _L32))
+
+        # bypass escape: value == max_value means the stream carries the
+        # raw magnitude in 4-bit chunks (host coder append_symbol_ops)
+        maxv = max_values[idx]
+        is_max = act & (value == maxv)
+        n_byp, state, ptr = _get_bits(words, state, ptr, is_max,
+                                      _BYPASS_BITS)
+        raw = jnp.zeros_like(value)
+        for j in range(_MAX_BYPASS_CHUNKS):
+            actj = is_max & (j < n_byp)
+            bv, state, ptr = _get_bits(words, state, ptr, actj,
+                                       _BYPASS_BITS)
+            raw = raw | jnp.where(actj, bv << (_BYPASS_BITS * j), 0)
+        v = raw >> 1
+        esc = jnp.where((raw & 1) == 1, -v - 1, v + maxv)
+        value = jnp.where(is_max, esc, value)
+        sym = jnp.where(act, value + offsets[idx], 0)
+        return (state, ptr), sym
+
+    (state, ptr), syms = lax.scan(step, (state, ptr), (indexes, active))
+    return syms, state, ptr
+
+
+def init_lanes(words, lane_base):
+    """Initial (state, ptr) from each lane's first two words.
+    ``lane_base`` is the absolute word offset of each lane's stream in
+    the flat ``words`` array (shape (..., L))."""
+    hi = words[lane_base].astype(jnp.uint32)
+    lo = words[lane_base + 1].astype(jnp.uint32)
+    return (hi << 16) | lo, lane_base + 2
+
+
+def to_steps(flat, lanes: int, fill=0):
+    """Reshape a (..., n) flat per-segment array into scan form
+    (T, ..., L) with the lane-contract layout (p -> step p//L, lane
+    p%L), padding the tail with ``fill``."""
+    n = flat.shape[-1]
+    t = -(-n // lanes)
+    pad = [(0, 0)] * (flat.ndim - 1) + [(0, t * lanes - n)]
+    arr = jnp.pad(flat, pad, constant_values=fill)
+    arr = arr.reshape(flat.shape[:-1] + (t, lanes))
+    return jnp.moveaxis(arr, -2, 0)
+
+
+def from_steps(stepped, n: int):
+    """Inverse of ``to_steps``: (T, ..., L) -> (..., n)."""
+    arr = jnp.moveaxis(stepped, 0, -2)
+    return arr.reshape(arr.shape[:-2] + (-1,))[..., :n]
+
+
+# --------------------------------------------------------------- packing
+
+def pack_streams(per_image: Sequence[tuple], lanes: int,
+                 bucket_words: int = 4096) -> tuple:
+    """Host-side: pack per-image (words, lane_nwords) pairs from
+    ``rans.encode_lanes`` into ONE flat uint16 word buffer + an int32
+    (B, L) lane_base offset table, padding the buffer to a
+    ``bucket_words`` multiple so re-encodes at similar rates reuse the
+    same compiled decode program (shape buckets, not per-call shapes).
+
+    The axon tunnel charges ~14 ms per runtime argument buffer per
+    execution (PERFORMANCE.md round-4) — one packed buffer + one offset
+    table keeps the whole bitstream at two argument buffers regardless
+    of batch size or lane count."""
+    batch = len(per_image)
+    lane_base = np.zeros((batch, lanes), dtype=np.int32)
+    parts = []
+    off = 0
+    for b, (words, lane_nwords) in enumerate(per_image):
+        assert lane_nwords.size == lanes
+        starts = np.concatenate(
+            ([0], np.cumsum(lane_nwords[:-1]))).astype(np.int32)
+        lane_base[b] = off + starts
+        parts.append(np.asarray(words, dtype=np.uint16))
+        off += int(np.sum(lane_nwords))
+    total = -(-max(off, 1) // bucket_words) * bucket_words
+    flat = np.zeros(total, dtype=np.uint16)
+    if off:
+        flat[:off] = np.concatenate(parts)
+    return flat, lane_base
+
+
+def split_stream(words: np.ndarray, lane_nwords: np.ndarray) -> bytes:
+    """Serialize one image's lane stream for the container: uint16
+    lane_nwords table then the words, little-endian."""
+    lane_nwords = np.asarray(lane_nwords)
+    assert int(lane_nwords.max(initial=0)) < (1 << 16)
+    head = lane_nwords.astype("<u2").tobytes()
+    return head + np.asarray(words, dtype="<u2").tobytes()
+
+
+def parse_stream(data: bytes, lanes: int) -> tuple:
+    """Inverse of ``split_stream`` -> (words uint16, lane_nwords i32)."""
+    head = np.frombuffer(data[:2 * lanes], dtype="<u2").astype(np.int32)
+    words = np.frombuffer(data[2 * lanes:], dtype="<u2")
+    return words, head
+
+
+def z_channel_indexes(zh: int, zw: int, channels: int) -> np.ndarray:
+    """The z latent's CDF row per position: channel id, in the same
+    (zh, zw, c) C-order flattening the host coder uses."""
+    return np.broadcast_to(np.arange(channels, dtype=np.int32),
+                           (zh, zw, channels)).reshape(-1)
+
+
+def merge_tables(gauss: dict, z: dict) -> dict:
+    """Two table sets (y Gaussian rows + z bottleneck rows) merged into
+    one row space so a single packed buffer serves the whole decode:
+    z rows live at offset ``gauss_rows``."""
+    cols = max(gauss["cdfs"].shape[1], z["cdfs"].shape[1])
+
+    def widen(t):
+        c = t["cdfs"]
+        if c.shape[1] < cols:
+            pad = np.full((c.shape[0], cols - c.shape[1]), 1 << PRECISION,
+                          dtype=np.int32)
+            c = np.concatenate([c, pad], axis=1)
+        return c
+
+    return {
+        "cdfs": np.concatenate([widen(gauss), widen(z)], axis=0),
+        "max_values": np.concatenate(
+            [gauss["max_values"], z["max_values"]]),
+        "offsets": np.concatenate([gauss["offsets"], z["offsets"]]),
+        "z_row_offset": int(gauss["cdfs"].shape[0]),
+    }
+
+
+def pack_table_buffer(tables: dict) -> tuple:
+    """Flatten merged tables into ONE int32 buffer (single runtime
+    argument) + the static layout needed to unpack inside jit."""
+    rows, cols = tables["cdfs"].shape
+    buf = np.concatenate([
+        tables["cdfs"].reshape(-1),
+        tables["max_values"],
+        tables["offsets"],
+    ]).astype(np.int32)
+    layout = {"rows": rows, "cols": cols,
+              "z_row_offset": tables["z_row_offset"]}
+    return buf, layout
+
+
+def unpack_table_buffer(buf, layout: dict) -> dict:
+    """jit-side inverse of ``pack_table_buffer`` (layout is static)."""
+    rows, cols = layout["rows"], layout["cols"]
+    n = rows * cols
+    return {
+        "cdfs": buf[:n].reshape(rows, cols),
+        "max_values": buf[n:n + rows],
+        "offsets": buf[n + rows:n + 2 * rows],
+        "z_row_offset": layout["z_row_offset"],
+    }

@@ -277,6 +277,175 @@ int rans_decode_stream(void* handle, const int32_t* indexes, int64_t n,
   return 0;
 }
 
+// ---- 32-bit lane-interleaved rANS (device-decodable stream format) ----
+//
+// State lives in [2^16, 2^32); renorm emits/reads 16-bit words.  Each
+// image stream is L independent lane streams, so a TPU lax.scan can
+// decode L symbols per step entirely on-device
+// (rgba_tpu/entropy/device_rans.py) — the channel-AR decode's
+// host<->device index round trips (the 11-sync critical path measured in
+// PERFORMANCE.md round-4) vanish.  The coded symbol scheme (16-bit
+// quantized CDFs, 4-bit bypass escape) is IDENTICAL to the 64-bit coder
+// above; only the state width / renorm granularity and the lane split
+// differ, costing ~4 bytes flush per lane.
+//
+// Lane assignment contract with the device decoder: symbols arrive as
+// one flat sequence cut into SEGMENTS (the z latent, then each y slice,
+// in decode order).  Within a segment, flat position p belongs to lane
+// ((p - seg_start) % L) at step ((p - seg_start) / L); positions with
+// alive[p] == 0 (rate-gated cells) emit no ops and are masked steps on
+// the decoder side.  A lane's op sequence is the concatenation of its
+// per-segment subsequences.
+
+namespace {
+
+constexpr uint32_t kRans32L = 1u << 16;
+
+inline void enc32_put(uint32_t& x, std::vector<uint16_t>& emitted,
+                      uint32_t start, uint32_t freq) {
+  const uint32_t x_max = freq << 16;  // ((L >> precision) << 16) * freq
+  if (x >= x_max) {
+    emitted.push_back(static_cast<uint16_t>(x & 0xFFFFu));
+    x >>= 16;
+  }
+  x = ((x / freq) << kPrecision) + (x % freq) + start;
+}
+
+inline void enc32_put_bits(uint32_t& x, std::vector<uint16_t>& emitted,
+                           uint32_t val, uint32_t nbits) {
+  const uint32_t x_max = 1u << (32 - nbits);
+  if (x >= x_max) {
+    emitted.push_back(static_cast<uint16_t>(x & 0xFFFFu));
+    x >>= 16;
+  }
+  x = (x << nbits) | val;
+}
+
+}  // namespace
+
+// Encode n symbols into `lanes` interleaved 32-bit rANS lane streams.
+// out_words layout: lane 0's words in DECODE order (2 init words holding
+// the final state, then renorm words), then lane 1's, ...; lane_nwords[l]
+// receives lane l's word count.  Returns total words, or -1 if
+// out_cap_words is too small.
+int64_t rans32_encode_lanes(const int32_t* symbols, const int32_t* indexes,
+                            const uint8_t* alive, const int64_t* seg_ends,
+                            int32_t nsegs, int64_t n, int32_t lanes,
+                            const int32_t* cdfs, int cols,
+                            const int32_t* cdf_lengths,
+                            const int32_t* offsets, uint16_t* out_words,
+                            int64_t out_cap_words, int32_t* lane_nwords) {
+  if (lanes <= 0 || nsegs <= 0 || seg_ends[nsegs - 1] != n) return -2;
+  std::vector<std::vector<Op>> ops(lanes);
+  for (auto& v : ops) v.reserve(n / lanes + 8);
+  int64_t seg_start = 0;
+  for (int32_t s = 0; s < nsegs; ++s) {
+    const int64_t seg_end = seg_ends[s];
+    for (int64_t p = seg_start; p < seg_end; ++p) {
+      if (alive != nullptr && alive[p] == 0) continue;
+      append_symbol_ops(ops[(p - seg_start) % lanes], symbols[p], indexes[p],
+                        cdfs, cols, cdf_lengths, offsets);
+    }
+    seg_start = seg_end;
+  }
+
+  int64_t total = 0;
+  for (int32_t l = 0; l < lanes; ++l) {
+    std::vector<uint16_t> emitted;
+    emitted.reserve(ops[l].size() + 4);
+    uint32_t state = kRans32L;
+    for (auto it = ops[l].rbegin(); it != ops[l].rend(); ++it) {
+      if (it->bypass) {
+        enc32_put_bits(state, emitted, it->bits_val, kBypassPrecision);
+      } else {
+        enc32_put(state, emitted, it->start, it->freq);
+      }
+    }
+    const int64_t nw = static_cast<int64_t>(emitted.size()) + 2;
+    if (total + nw > out_cap_words) return -1;
+    out_words[total] = static_cast<uint16_t>(state >> 16);
+    out_words[total + 1] = static_cast<uint16_t>(state & 0xFFFFu);
+    // decode order = reverse of emission order
+    for (int64_t j = 0; j < static_cast<int64_t>(emitted.size()); ++j) {
+      out_words[total + 2 + j] = emitted[emitted.size() - 1 - j];
+    }
+    lane_nwords[l] = static_cast<int32_t>(nw);
+    total += nw;
+  }
+  return total;
+}
+
+// Host-side twin of the device lane decoder — an independent check of
+// the format (tests pin C++ encode -> jax decode == C++ encode -> this)
+// and a production fallback for hosts without an accelerator.
+int rans32_decode_lanes(const uint16_t* words, const int32_t* lane_nwords,
+                        const int32_t* indexes, const uint8_t* alive,
+                        const int64_t* seg_ends, int32_t nsegs, int64_t n,
+                        int32_t lanes, const int32_t* cdfs, int cols,
+                        const int32_t* cdf_lengths, const int32_t* offsets,
+                        int32_t* out) {
+  if (lanes <= 0 || nsegs <= 0 || seg_ends[nsegs - 1] != n) return -2;
+  std::vector<const uint16_t*> lane_ptr(lanes);
+  std::vector<const uint16_t*> lane_end(lanes);
+  std::vector<uint32_t> state(lanes);
+  const uint16_t* w = words;
+  for (int32_t l = 0; l < lanes; ++l) {
+    state[l] = (static_cast<uint32_t>(w[0]) << 16) | w[1];
+    lane_ptr[l] = w + 2;
+    lane_end[l] = w + lane_nwords[l];
+    w += lane_nwords[l];
+  }
+  auto renorm = [&](int32_t l) {
+    if (state[l] < kRans32L && lane_ptr[l] < lane_end[l]) {
+      state[l] = (state[l] << 16) | *lane_ptr[l]++;
+    }
+  };
+  auto get_bits = [&](int32_t l, uint32_t nbits) -> uint32_t {
+    const uint32_t val = state[l] & ((1u << nbits) - 1);
+    state[l] >>= nbits;
+    renorm(l);
+    return val;
+  };
+  int64_t seg_start = 0;
+  for (int32_t s = 0; s < nsegs; ++s) {
+    const int64_t seg_end = seg_ends[s];
+    for (int64_t p = seg_start; p < seg_end; ++p) {
+      if (alive != nullptr && alive[p] == 0) {
+        out[p] = 0;
+        continue;
+      }
+      const int32_t l = static_cast<int32_t>((p - seg_start) % lanes);
+      const int32_t index = indexes[p];
+      const int32_t* cdf = cdfs + static_cast<int64_t>(index) * cols;
+      const int32_t max_value = cdf_lengths[index] - 2;
+      const uint32_t cum = state[l] & ((1u << kPrecision) - 1);
+      int32_t value = 0;
+      while (static_cast<uint32_t>(cdf[value + 1]) <= cum) ++value;
+      state[l] = static_cast<uint32_t>(cdf[value + 1] - cdf[value]) *
+                     (state[l] >> kPrecision) +
+                 cum - static_cast<uint32_t>(cdf[value]);
+      renorm(l);
+      if (value == max_value) {
+        uint32_t val = get_bits(l, kBypassPrecision);
+        uint32_t n_bypass = val;
+        while (val == kMaxBypassVal) {
+          val = get_bits(l, kBypassPrecision);
+          n_bypass += val;
+        }
+        uint32_t raw_val = 0;
+        for (uint32_t j = 0; j < n_bypass; ++j) {
+          raw_val |= get_bits(l, kBypassPrecision) << (j * kBypassPrecision);
+        }
+        int32_t v = static_cast<int32_t>(raw_val >> 1);
+        value = (raw_val & 1) ? -v - 1 : v + max_value;
+      }
+      out[p] = value + offsets[index];
+    }
+    seg_start = seg_end;
+  }
+  return 0;
+}
+
 // One-shot decode convenience.
 int rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
                              const int32_t* indexes, int64_t n,

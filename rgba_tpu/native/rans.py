@@ -55,6 +55,17 @@ def _get_lib() -> ctypes.CDLL:
     lib.rans_decode_with_indexes.argtypes = [
         u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int,
         ctypes.c_int, i32p, i32p, i32p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.rans32_encode_lanes.restype = ctypes.c_int64
+    lib.rans32_encode_lanes.argtypes = [
+        i32p, i32p, u8p, i64p, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, i32p, ctypes.c_int, i32p, i32p, u16p,
+        ctypes.c_int64, i32p]
+    lib.rans32_decode_lanes.restype = ctypes.c_int
+    lib.rans32_decode_lanes.argtypes = [
+        u16p, i32p, i32p, u8p, i64p, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, i32p, ctypes.c_int, i32p, i32p, i32p]
     _lib = lib
     return lib
 
@@ -125,6 +136,73 @@ def decode_with_indexes(data: bytes, indexes, cdfs, cdf_lengths,
         _ptr(out, ctypes.c_int32))
     if rc != 0:
         raise RuntimeError(f"rans decode failed: {rc}")
+    return out.reshape(shape)
+
+
+def encode_lanes(symbols, indexes, seg_ends, lanes: int, cdfs, cdf_lengths,
+                 offsets, alive=None) -> tuple:
+    """Encode one flat symbol sequence into `lanes` interleaved 32-bit
+    rANS lane streams (the device-decodable format — see
+    rgba_tpu/entropy/device_rans.py for the lane/segment contract).
+
+    Returns (words, lane_nwords): uint16 word array (all lanes
+    concatenated, each in decode order) and per-lane word counts."""
+    lib = _get_lib()
+    symbols = _i32(symbols).ravel()
+    indexes = _i32(indexes).ravel()
+    seg_ends = np.ascontiguousarray(seg_ends, dtype=np.int64).ravel()
+    cdfs = _i32(cdfs)
+    cdf_lengths = _i32(cdf_lengths)
+    offsets = _i32(offsets)
+    assert symbols.shape == indexes.shape
+    alive_p = None
+    if alive is not None:
+        alive = np.ascontiguousarray(alive, dtype=np.uint8).ravel()
+        assert alive.shape == symbols.shape
+        alive_p = _ptr(alive, ctypes.c_uint8)
+    cap = symbols.size * 3 + 4 * lanes + 64
+    out = np.zeros(cap, dtype=np.uint16)
+    lane_nwords = np.zeros(lanes, dtype=np.int32)
+    n = lib.rans32_encode_lanes(
+        _ptr(symbols, ctypes.c_int32), _ptr(indexes, ctypes.c_int32),
+        alive_p, _ptr(seg_ends, ctypes.c_int64), seg_ends.size,
+        symbols.size, lanes, _ptr(cdfs, ctypes.c_int32), cdfs.shape[1],
+        _ptr(cdf_lengths, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
+        _ptr(out, ctypes.c_uint16), cap, _ptr(lane_nwords, ctypes.c_int32))
+    if n == -1:
+        raise RuntimeError("rans32 encode buffer overflow")
+    if n < 0:
+        raise ValueError(f"rans32_encode_lanes failed: {n}")
+    return out[:n].copy(), lane_nwords
+
+
+def decode_lanes(words, lane_nwords, indexes, seg_ends, cdfs, cdf_lengths,
+                 offsets, alive=None) -> np.ndarray:
+    """Host-side decode of the lane format (independent C++ twin of the
+    device decoder; tests pin all three ends against each other)."""
+    lib = _get_lib()
+    words = np.ascontiguousarray(words, dtype=np.uint16).ravel()
+    lane_nwords = _i32(lane_nwords).ravel()
+    indexes = _i32(indexes)
+    shape = indexes.shape
+    flat = indexes.ravel()
+    seg_ends = np.ascontiguousarray(seg_ends, dtype=np.int64).ravel()
+    cdfs = _i32(cdfs)
+    alive_p = None
+    if alive is not None:
+        alive = np.ascontiguousarray(alive, dtype=np.uint8).ravel()
+        assert alive.shape == flat.shape
+        alive_p = _ptr(alive, ctypes.c_uint8)
+    out = np.zeros(flat.size, dtype=np.int32)
+    rc = lib.rans32_decode_lanes(
+        _ptr(words, ctypes.c_uint16), _ptr(lane_nwords, ctypes.c_int32),
+        _ptr(flat, ctypes.c_int32), alive_p,
+        _ptr(seg_ends, ctypes.c_int64), seg_ends.size, flat.size,
+        lane_nwords.size, _ptr(cdfs, ctypes.c_int32), cdfs.shape[1],
+        _ptr(_i32(cdf_lengths), ctypes.c_int32),
+        _ptr(_i32(offsets), ctypes.c_int32), _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        raise RuntimeError(f"rans32_decode_lanes failed: {rc}")
     return out.reshape(shape)
 
 
