@@ -19,6 +19,7 @@ misreading it as "at parity with the reference").
 
 Env knobs: BENCH_MODE=forward|codec|both (default both), BENCH_BATCH,
 BENCH_ITERS, BENCH_POLICY (forward), BENCH_PIPE=0 to unpipeline the codec,
+BENCH_STREAM_FORMAT=lanes32 for the device-decoded lane path,
 BENCH_IGNORE_CLIENTS=1 to override the concurrent-TPU-client refusal.
 
 Every record embeds a `chip_health` canary (raw 8192^3 bf16 matmul TF/s +
@@ -91,9 +92,15 @@ def measure_codec() -> dict:
     # cross-batch pipeline by default (batch n's host rANS/transfers
     # overlap batch n+1's device compute; bit-identical streams)
     use_pipe = os.environ.get("BENCH_PIPE", "1") == "1"
+    # BENCH_STREAM_FORMAT=lanes32 measures the device-decoded lane path
+    # (container v3, CodecIO.decompress_device — no per-slice host round
+    # trips); default stays the v64 host-coder chain for cross-round
+    # continuity until the lane path's numbers are established
+    sf = os.environ.get("BENCH_STREAM_FORMAT", "v64")
 
     # warm-up: compiles all passes; also correctness-probe the round trip
-    blobs = codec.encode_batch(datas[0]["image"], datas[0]["alpha"])
+    blobs = codec.encode_batch(datas[0]["image"], datas[0]["alpha"],
+                               stream_format=sf)
     rgba = codec.decode_batch(blobs, output="uint8")
     assert rgba.dtype == np.uint8 and rgba.shape[-1] == 4
 
@@ -103,11 +110,13 @@ def measure_codec() -> dict:
         from rgba_tpu.eval.pipeline import PipelinedCodec
         pipe = PipelinedCodec(codec, depth=2)
         feed = ((datas[i]["image"], datas[i]["alpha"]) for i in range(iters))
-        for blobs, rgba in pipe.roundtrip_stream(feed, output="uint8"):
+        for blobs, rgba in pipe.roundtrip_stream(feed, output="uint8",
+                                                 stream_format=sf):
             nbytes += sum(len(b) for b in blobs)
     else:
         for i in range(iters):
-            blobs = codec.encode_batch(datas[i]["image"], datas[i]["alpha"])
+            blobs = codec.encode_batch(datas[i]["image"], datas[i]["alpha"],
+                                       stream_format=sf)
             nbytes += sum(len(b) for b in blobs)
             rgba = codec.decode_batch(blobs, output="uint8")
     np.asarray(rgba).sum()  # everything is host-side already
@@ -116,7 +125,7 @@ def measure_codec() -> dict:
     return {
         "value": round(batch * iters / dt, 4),
         "unit": "images/sec/chip",
-        "batch": batch, "pipelined": use_pipe,
+        "batch": batch, "pipelined": use_pipe, "stream_format": sf,
         "bpp": round(nbytes * 8 / (iters * batch * height * width), 4),
         "sec_per_image": round(dt / (iters * batch), 4),
     }

@@ -26,6 +26,12 @@ Two serving-oriented upgrades over the reference's per-image serial loop
      all condition on exactly slices 0..4, so one stats pass + one index
      fetch covers the whole tail (6 round trips instead of 10 for the RGB
      codec; see decompress_chain(tail_parallel=...)).
+  4. OPTIONALLY the host leaves the decode loop entirely: lane-format
+     streams (compress_batch(stream_format="lanes32")) are decoded ON
+     DEVICE by a lax.scan in the same jit program as the stats convs and
+     the synthesis transform (decompress_device, entropy/device_rans.py)
+     — z decode + the whole channel-AR chain + decode_image in ONE
+     dispatch, ~2 host syncs per batch instead of 11.
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..entropy import device_rans
 from ..entropy.gaussian import GaussianConditional, get_scale_table
 from ..native import rans
 from ..ops.mask_pyramid import mask_pyramid
@@ -131,6 +138,11 @@ class CodecIO:
         self._dz_fns: dict = {}
         self._tail_fns: dict = {}
         self._variant_lock = threading.Lock()
+        # lane-format (device-decodable) stream machinery, built lazily:
+        # merged gauss+z CDF tables as ONE int32 runtime buffer + the
+        # static layout the decode program unpacks it with
+        self._lane_state: Optional[dict] = None
+        self._lane_fns: dict = {}
 
     def _put(self, x, batch_axis: int = 0):
         """Upload a host array, batch-sharded when self.sharding is set."""
@@ -156,6 +168,15 @@ class CodecIO:
         self.params = params
         self._fp.repack(params)
         self.eb_tables = self._build_eb_tables()
+        if self._lane_state is not None:
+            old_layout = self._lane_state["layout"]
+            self._lane_state = None
+            if self._lane_tables()["layout"] != old_layout:
+                # z CDF widths grew past the padded layout: the compiled
+                # decode programs unpack a stale geometry — drop them
+                # (rare across same-architecture checkpoints; pad_cols
+                # growth absorbs small changes)
+                self._lane_fns.clear()
 
     def _pjit(self, run):
         """jit `run(params_tree, ...)` as a flat-buffer executable.
@@ -173,6 +194,194 @@ class CodecIO:
         from ..entropy.bottleneck import EntropyBottleneck
         eb_mod = EntropyBottleneck(192)
         return eb_mod.cdf_tables(self.params["prior"]["entropy_bottleneck"])
+
+    # ------------------------------------------- lane-format (device) path
+
+    LANES_DEFAULT = 128
+
+    def _lane_tables(self) -> dict:
+        """Merged y-Gaussian + z-bottleneck CDF tables packed into ONE
+        int32 runtime buffer (single argument — the tunnel charges per
+        argument buffer) + the static unpack layout.  The z half is
+        params-derived and rebuilt by set_params; its columns pad up to
+        a /64 multiple so same-architecture checkpoint swaps keep the
+        layout (and every compiled decode program) stable."""
+        if self._lane_state is None:
+            g = device_rans.pack_tables(
+                self.gc.quantized_cdfs, self.gc.cdf_lengths, self.gc.offsets)
+            t = self.eb_tables
+            zc = int(np.asarray(t["quantized_cdfs"]).shape[1])
+            z = device_rans.pack_tables(
+                t["quantized_cdfs"], t["cdf_lengths"], t["offsets"],
+                pad_cols=-(-zc // 64) * 64)
+            merged = device_rans.merge_tables(g, z)
+            buf, layout = device_rans.pack_table_buffer(merged)
+            self._lane_state = {
+                "merged": merged, "layout": layout,
+                "buf_dev": self._put(buf),
+            }
+        return self._lane_state
+
+    def _lane_blob(self, sym_flat, idx_flat, seg_ends, lanes, shape,
+                   alive=None, gate=None) -> dict:
+        st = self._lane_tables()
+        m = st["merged"]
+        words, lnw = rans.encode_lanes(
+            sym_flat, idx_flat, seg_ends, lanes, m["cdfs"],
+            m["max_values"] + 2, m["offsets"], alive=alive)
+        out = {"format": "lanes32", "lanes": lanes,
+               "stream": device_rans.split_stream(words, lnw),
+               "shape": shape}
+        if gate is not None:
+            out["gate"] = gate
+        return out
+
+    def _lane_decode_fn(self, k: int, gated: bool, zh: int, zw: int):
+        """One jitted program for the ENTIRE decode: z lane decode ->
+        hyper decode -> per-slice (stats -> lane decode -> lrp) for the
+        first k slices -> mean-fill tail -> synthesis transform.  No
+        host round trips: the channel-AR loop runs on-chip against the
+        uploaded bitstream (entropy/device_rans.py).  Reference analog:
+        AutoEncoderRGB_Journal.py:373-415 ping-pongs every slice through
+        host rANS."""
+        key = (k, gated, zh, zw)
+        with self._variant_lock:
+            fn = self._lane_fns.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        kind = self.kind
+        S, n = self.max_support, self.num_slices
+        layout = self._lane_tables()["layout"]
+        build_indexes = self.gc.build_indexes
+        C_Z = 192
+
+        def run(params, tbuf, words_u16, lane_base, *rest):
+            rest = list(rest)
+            gate = rest.pop(0) if gated else None
+
+            def inner(m):
+                tables = device_rans.unpack_table_buffer(tbuf, layout)
+                words = words_u16.astype(jnp.uint32)
+                state, ptr = device_rans.init_lanes(words, lane_base)
+                bsz, lanes = lane_base.shape
+
+                # z segment: static per-position channel indexes
+                z_n = zh * zw * C_Z
+                z_idx = device_rans.z_channel_indexes(zh, zw, C_Z) \
+                    + layout["z_row_offset"]
+                t_z = -(-z_n // lanes)
+                z_idx = np.pad(z_idx, (0, t_z * lanes - z_n)) \
+                    .reshape(t_z, 1, lanes)
+                z_act = (np.arange(t_z * lanes) < z_n) \
+                    .reshape(t_z, 1, lanes)
+                syms, state2, ptr2 = device_rans.decode_segment(
+                    tables, words, state, ptr,
+                    jnp.broadcast_to(jnp.asarray(z_idx),
+                                     (t_z, bsz, lanes)),
+                    jnp.broadcast_to(jnp.asarray(z_act),
+                                     (t_z, bsz, lanes)))
+                state, ptr = state2, ptr2
+                z_sym = device_rans.from_steps(syms, z_n) \
+                    .reshape(bsz, zh, zw, C_Z).astype(jnp.float32)
+                medians = m.prior.entropy_bottleneck.medians()
+                z_hat = z_sym + medians[None, None, None, :]
+
+                lm, ls = m.prior.hyper_decode(z_hat)
+                lm = lm.astype(jnp.float32)
+                ls = ls.astype(jnp.float32)
+                h, w = lm.shape[1], lm.shape[2]
+
+                ys: List = []
+                for i in range(k):
+                    sup = ys[:S]
+                    mu, scale = m.prior.slice_stats(lm, ls, sup, i, (h, w))
+                    index = build_indexes(scale).astype(jnp.int32)
+                    sw = index.shape[-1]
+                    idx_steps = device_rans.to_steps(
+                        index.reshape(bsz, -1), lanes)
+                    if gate is not None:
+                        act = jnp.broadcast_to(
+                            gate.astype(bool), (bsz, h, w, sw))
+                        act_steps = device_rans.to_steps(
+                            act.reshape(bsz, -1), lanes, fill=False)
+                    else:
+                        n_i = h * w * sw
+                        t_i = -(-n_i // lanes)
+                        act_np = (np.arange(t_i * lanes) < n_i) \
+                            .reshape(t_i, 1, lanes)
+                        act_steps = jnp.broadcast_to(
+                            jnp.asarray(act_np), (t_i, bsz, lanes))
+                    syms, state, ptr = device_rans.decode_segment(
+                        tables, words, state, ptr, idx_steps, act_steps)
+                    sym = device_rans.from_steps(syms, h * w * sw) \
+                        .reshape(bsz, h, w, sw).astype(jnp.float32)
+                    y = sym + mu
+                    y = y + m.prior.slice_lrp(lm, sup, y, i)
+                    ys.append(y)
+                for i in range(k, n):
+                    # progressive preview tail: symbol 0 everywhere
+                    # (y = mu + lrp, the rate-gated-cell reconstruction)
+                    sup = ys[:S]
+                    mu, _ = m.prior.slice_stats(lm, ls, sup, i, (h, w))
+                    y = mu + m.prior.slice_lrp(lm, sup, mu, i)
+                    ys.append(y)
+                y_hat = jnp.concatenate(ys, axis=-1)
+
+                if kind == "rgb":
+                    md2, md3 = rest
+                    x = m.decoder(y_hat.astype(m.policy.compute_dtype),
+                                  md2, md3)
+                else:
+                    x = m.decoder(y_hat.astype(m.policy.compute_dtype))
+                return jnp.clip(x.astype(jnp.float32), 0.0, 1.0), y_hat
+
+            return model.apply({"params": params}, method=inner)
+
+        fn = self._pjit(run)
+        with self._variant_lock:
+            return self._lane_fns.setdefault(key, fn)
+
+    def decompress_device(self, compressed: Sequence[dict],
+                          md=None, max_slices: Optional[int] = None,
+                          _return_latent: bool = False):
+        """Decode lane-format (``stream_format="lanes32"``) blobs wholly
+        on-device: ONE dispatch runs z decode, the channel-AR slice loop
+        (bitstream decoded by lax.scan), and the synthesis transform.
+        Host<->device syncs per batch: the stream upload + the result
+        fetch — vs 11 index round trips for the host-coder chain
+        (PERFORMANCE.md round-4 batch-1 ladder).
+
+        md: (md2, md3) mask-pyramid levels (rgb kind only).
+        Returns the reconstruction as a DEVICE array (callers fetch or
+        keep chaining); with _return_latent also the decoded y_hat."""
+        if self.sharding is not None:
+            raise NotImplementedError(
+                "lane-format decode under batch-sharded serving is not "
+                "wired yet — the packed word buffer is not batch-leading; "
+                "use the v64 chain path on sharded meshes")
+        k = self.num_slices if max_slices is None else max(
+            0, min(int(max_slices), self.num_slices))
+        zh, zw = compressed[0]["shape"]
+        lanes = compressed[0]["lanes"]
+        assert all(c["shape"] == (zh, zw) and c["lanes"] == lanes
+                   and c.get("format") == "lanes32" for c in compressed), \
+            "decompress_device requires same-shaped lanes32 streams"
+        per_image = [device_rans.parse_stream(c["stream"], lanes)
+                     for c in compressed]
+        flat, lane_base = device_rans.pack_streams(per_image, lanes)
+        gated = "gate" in compressed[0]
+        args = [self._lane_tables()["buf_dev"], self._put(flat),
+                self._put(lane_base)]
+        if gated:
+            gate = np.stack([c["gate"] for c in compressed])
+            args.append(self._put(gate.astype(np.uint8)))
+        if self.kind == "rgb":
+            assert md is not None, "rgb decompress_device needs md=(md2,md3)"
+            args.extend(md)
+        x_hat, y_hat = self._lane_decode_fn(k, gated, zh, zw)(
+            self._fp.flat, *args)
+        return (x_hat, y_hat) if _return_latent else x_hat
 
     # ------------------------------------------------------- device fns
 
@@ -467,7 +676,9 @@ class CodecIO:
     def compress_batch(self, image: Optional[np.ndarray] = None,
                        mask: Optional[np.ndarray] = None,
                        rate_gate: Optional[bool] = None,
-                       deadzone: float = 0.0) -> List[dict]:
+                       deadzone: float = 0.0,
+                       stream_format: str = "v64",
+                       lanes: Optional[int] = None) -> List[dict]:
         """Batched compress: one device pass for all images, then B
         independent rANS streams coded on host threads. Returns one
         {"strings": [y, z], "shape": (zh, zw)} dict per image.
@@ -475,7 +686,14 @@ class CodecIO:
         rate_gate overrides the constructor default (rgb only): gated
         latent cells are excluded from the y stream entirely.
         deadzone > 0 widens the quantizer's zero bin by dz on each side
-        (runtime rate control, no retraining, decoder-agnostic)."""
+        (runtime rate control, no retraining, decoder-agnostic).
+
+        stream_format="lanes32" emits the device-decodable lane format
+        instead (one stream per image carrying z + all y slices as
+        ``lanes`` interleaved 32-bit rANS lanes): decompress_device
+        then decodes the whole AR chain on-chip in one dispatch.  Costs
+        ~4 flush bytes per lane (~+1-2 %% rate at Kodak sizes);
+        bit-exact symbols either way."""
         rg = self.rate_gate if rate_gate is None else (
             bool(rate_gate) and self.kind == "rgb")
         dzd = float(deadzone) > 0.0
@@ -505,36 +723,81 @@ class CodecIO:
         t = self.eb_tables
         shape = tuple(int(s) for s in jax.device_get(z_shape)[1:3])
 
-        def code_part(part, gate_part):
-            """rANS-code one fetched sub-batch on host threads."""
-            y_syms, y_idxs, z_sym = part
-            n_slices, bs, lh, lw, sw = y_syms.shape
-            c = z_sym.shape[-1]
-            z_indexes = np.broadcast_to(
-                np.arange(c, dtype=np.int32), z_sym.shape[1:]).ravel()
+        if stream_format == "lanes32":
+            req_lanes = lanes
+            z_off = self._lane_tables()["layout"]["z_row_offset"]
 
-            def one(b):
-                z_string = rans.encode_with_indexes(
-                    z_sym[b].ravel(), z_indexes,
-                    t["quantized_cdfs"], t["cdf_lengths"], t["offsets"])
-                # slice-major symbol order — the decoder reads slice 0 first
-                syms_b = y_syms[:, b].ravel()
-                idxs_b = y_idxs[:, b].ravel()
-                if gate_part is not None:
-                    alive = np.broadcast_to(
-                        gate_part[b][None], (n_slices, lh, lw, sw)).ravel()
-                    syms_b, idxs_b = syms_b[alive], idxs_b[alive]
-                y_string = rans.encode_with_indexes(
-                    syms_b, idxs_b, self.gc.quantized_cdfs,
-                    self.gc.cdf_lengths, self.gc.offsets)
-                out = {"strings": [y_string, z_string], "shape": shape}
-                if gate_part is not None:
-                    out["gate"] = gate_part[b]       # (lh, lw, 1) bool
-                return out
+            def code_part_lanes(part, gate_part):
+                y_syms, y_idxs, z_sym = part
+                n_slices, bs, lh, lw, sw = y_syms.shape
+                c = z_sym.shape[-1]
+                z_n, s_n = z_sym[0].size, lh * lw * sw
+                # auto lane count: ~6 bytes/lane of flush+header overhead
+                # argue for >=512 symbols per lane; cap at LANES_DEFAULT
+                # (the decode scan length is n_total / lanes)
+                n_total = z_n + n_slices * s_n
+                lanes = req_lanes or min(
+                    self.LANES_DEFAULT,
+                    max(8, 1 << int(np.log2(max(n_total // 512, 8)))))
+                z_idx = device_rans.z_channel_indexes(
+                    z_sym.shape[1], z_sym.shape[2], c) + z_off
+                seg_ends = z_n + s_n * np.arange(n_slices + 1, dtype=np.int64)
+                seg_ends[0] = z_n  # [z, z+s, z+2s, ...]
 
-            if bs == 1:
-                return [one(0)]
-            return list(self._pool.map(one, range(bs)))
+                def one(b):
+                    sym = np.concatenate([z_sym[b].ravel(),
+                                          y_syms[:, b].ravel()])
+                    idx = np.concatenate([z_idx, y_idxs[:, b].ravel()])
+                    alive = gate = None
+                    if gate_part is not None:
+                        gate = gate_part[b]
+                        alive = np.concatenate([
+                            np.ones(z_n, np.uint8),
+                            np.broadcast_to(gate[None],
+                                            (n_slices, lh, lw, sw))
+                            .astype(np.uint8).ravel()])
+                    return self._lane_blob(sym, idx, seg_ends, lanes,
+                                           shape, alive=alive, gate=gate)
+
+                if bs == 1:
+                    return [one(0)]
+                return list(self._pool.map(one, range(bs)))
+
+            code_part = code_part_lanes
+        else:
+
+            def code_part(part, gate_part):
+                """rANS-code one fetched sub-batch on host threads."""
+                y_syms, y_idxs, z_sym = part
+                n_slices, bs, lh, lw, sw = y_syms.shape
+                c = z_sym.shape[-1]
+                z_indexes = np.broadcast_to(
+                    np.arange(c, dtype=np.int32), z_sym.shape[1:]).ravel()
+
+                def one(b):
+                    z_string = rans.encode_with_indexes(
+                        z_sym[b].ravel(), z_indexes,
+                        t["quantized_cdfs"], t["cdf_lengths"], t["offsets"])
+                    # slice-major symbol order — the decoder reads slice 0
+                    # first
+                    syms_b = y_syms[:, b].ravel()
+                    idxs_b = y_idxs[:, b].ravel()
+                    if gate_part is not None:
+                        alive = np.broadcast_to(
+                            gate_part[b][None],
+                            (n_slices, lh, lw, sw)).ravel()
+                        syms_b, idxs_b = syms_b[alive], idxs_b[alive]
+                    y_string = rans.encode_with_indexes(
+                        syms_b, idxs_b, self.gc.quantized_cdfs,
+                        self.gc.cdf_lengths, self.gc.offsets)
+                    out = {"strings": [y_string, z_string], "shape": shape}
+                    if gate_part is not None:
+                        out["gate"] = gate_part[b]       # (lh, lw, 1) bool
+                    return out
+
+                if bs == 1:
+                    return [one(0)]
+                return list(self._pool.map(one, range(bs)))
 
         def fetch(sl):
             got = jax.device_get((syms_d[:, sl], idxs_d[:, sl], z_d[sl]))

@@ -35,6 +35,13 @@ Layout (little-endian):
   [gate]  5th section, only when flags bit2: zlib(packbits(gate)) over
           the (8*zh, 8*zw) alive bitmap, row-major (~100-200 bytes at
           Kodak size — mostly-uniform regions RLE well)
+
+  version 3 (flags bit3): device-decodable lane streams.  Each codec's
+  whole bitstream (z + all y slices) is ONE 32-bit lane-interleaved
+  rANS stream (entropy/device_rans.py) stored in the y section as
+  "u16 lane count || u16 lane word counts || words"; the z sections are
+  empty.  Costs ~4 flush bytes/lane over v1/v2 and decodes wholly
+  on-device (CodecIO.decompress_device — no per-slice host round trips).
 """
 
 from __future__ import annotations
@@ -55,17 +62,30 @@ def pack_rgba(height: int, width: int, rgb: dict, mask: dict | None,
     compress_batch(rate_gate=True)), the container is version 2 and the
     gate ships as a 5th section."""
     gate = rgb.get("gate")
+    lanes32 = rgb.get("format") == "lanes32"
     flags = ((1 if mask is not None else 0) | (2 if crop is not None else 0)
-             | (4 if gate is not None else 0))
-    version = 2 if gate is not None else 1
+             | (4 if gate is not None else 0) | (8 if lanes32 else 0))
+    version = 3 if lanes32 else (2 if gate is not None else 1)
     zh, zw = rgb["shape"]
     mzh, mzw = mask["shape"] if mask else (0, 0)
     head = struct.pack("<4sBBIIHHHH", _MAGIC, version, flags, height, width,
                        zh, zw, mzh, mzw)
     if crop is not None:
         head += struct.pack("<IIII", *crop)
-    sections = [rgb["strings"][0], rgb["strings"][1]]
-    sections += [mask["strings"][0], mask["strings"][1]] if mask else [b"", b""]
+    if lanes32:
+        # v3: one lane stream per codec (z + all y slices merged for the
+        # on-device decode, entropy/device_rans.py); the y section is
+        # "u16 lane count || words", the z section is empty
+        def lane_sec(c):
+            return struct.pack("<H", c["lanes"]) + c["stream"]
+        assert mask is None or mask.get("format") == "lanes32", \
+            "v3 containers need both codecs in lane format"
+        sections = [lane_sec(rgb), b""]
+        sections += [lane_sec(mask), b""] if mask else [b"", b""]
+    else:
+        sections = [rgb["strings"][0], rgb["strings"][1]]
+        sections += [mask["strings"][0], mask["strings"][1]] if mask \
+            else [b"", b""]
     if gate is not None:
         bits = np.asarray(gate, bool).reshape(zh * 8, zw * 8)
         sections.append(zlib.compress(np.packbits(bits).tobytes()))
@@ -82,11 +102,14 @@ def unpack_rgba(blob: bytes) -> dict:
         raise ValueError("not an rgba_tpu container (truncated header)")
     magic, ver, flags, h, w, zh, zw, mzh, mzw = struct.unpack(
         "<4sBBIIHHHH", blob[:head_len])
-    if magic != _MAGIC or ver not in (1, 2):
+    if magic != _MAGIC or ver not in (1, 2, 3):
         raise ValueError("not an rgba_tpu container")
     rate_gated = bool(flags & 4)
-    if rate_gated != (ver == 2):
+    lanes32 = bool(flags & 8)
+    if ver < 3 and rate_gated != (ver == 2):
         raise ValueError("corrupt rgba_tpu container (gate flag/version)")
+    if lanes32 != (ver == 3):
+        raise ValueError("corrupt rgba_tpu container (lane flag/version)")
     off = head_len
     crop = None
     if flags & 2:
@@ -104,10 +127,19 @@ def unpack_rgba(blob: bytes) -> dict:
             raise ValueError("truncated rgba_tpu container (section body)")
         sections.append(blob[off:off + ln])
         off += ln
+    def lane_sec(data, shape):
+        if len(data) < 2:
+            raise ValueError("truncated rgba_tpu container (lane stream)")
+        (lanes,) = struct.unpack("<H", data[:2])
+        return {"format": "lanes32", "lanes": lanes, "stream": data[2:],
+                "shape": shape}
+
     out = {
         "height": h, "width": w, "consumed": off, "crop": crop,
-        "rate_gated": rate_gated,
-        "rgb": {"strings": [sections[0], sections[1]], "shape": (zh, zw)},
+        "rate_gated": rate_gated, "stream_format":
+            "lanes32" if lanes32 else "v64",
+        "rgb": lane_sec(sections[0], (zh, zw)) if lanes32 else
+               {"strings": [sections[0], sections[1]], "shape": (zh, zw)},
         "mask": None,
     }
     if rate_gated:
@@ -118,8 +150,8 @@ def unpack_rgba(blob: bytes) -> dict:
             raise ValueError("corrupt rgba_tpu container (gate bitmap)")
         out["rgb"]["gate"] = bits[:lh * lw].reshape(lh, lw, 1).astype(bool)
     if flags & 1:
-        out["mask"] = {"strings": [sections[2], sections[3]],
-                       "shape": (mzh, mzw)}
+        out["mask"] = lane_sec(sections[2], (mzh, mzw)) if lanes32 else \
+            {"strings": [sections[2], sections[3]], "shape": (mzh, mzw)}
     return out
 
 
@@ -146,10 +178,11 @@ class RGBAFileCodec:
 
     def encode(self, image: np.ndarray, alpha: np.ndarray,
                bbox: bool = False, rate_gate: bool = False,
-               deadzone: float = 0.0) -> bytes:
+               deadzone: float = 0.0, stream_format: str = "v64") -> bytes:
         """image: (1,H,W,3) float32; alpha: (1,H,W,1) float32."""
         return self.encode_batch(image, alpha, bbox=bbox,
-                                 rate_gate=rate_gate, deadzone=deadzone)[0]
+                                 rate_gate=rate_gate, deadzone=deadzone,
+                                 stream_format=stream_format)[0]
 
     def decode(self, blob: bytes, max_slices: int | None = None) -> np.ndarray:
         """Returns (1, H, W, 4) float32 RGBA. max_slices=k decodes a
@@ -161,7 +194,8 @@ class RGBAFileCodec:
     def encode_batch(self, images: np.ndarray, alphas: np.ndarray,
                      bbox: bool = False, rate_gate: bool = False,
                      deadzone: float = 0.0,
-                     bucket: tuple[int, int] | None = None) -> list[bytes]:
+                     bucket: tuple[int, int] | None = None,
+                     stream_format: str = "v64") -> list[bytes]:
         """Compress B same-shaped RGBA images in one batched device pass
         per stage (the per-slice autoregression cost is paid once for the
         whole batch). Returns one container blob per image.
@@ -245,8 +279,12 @@ class RGBAFileCodec:
 
         mask_comps: dict[int, dict] = {}
         if non_op:
-            comps = self.mask_io.compress_batch(mask=a_dev[jnp.asarray(non_op)])
-            rm_sub = self.mask_io.decompress_batch(comps, device=True)
+            comps = self.mask_io.compress_batch(
+                mask=a_dev[jnp.asarray(non_op)], stream_format=stream_format)
+            if stream_format == "lanes32":
+                rm_sub = self.mask_io.decompress_device(comps)
+            else:
+                rm_sub = self.mask_io.decompress_batch(comps, device=True)
             mask_comps = dict(zip(non_op, comps))
 
             def scatter_post(x, rm_s):
@@ -266,7 +304,8 @@ class RGBAFileCodec:
                 m > 0, x, m))(x_dev, recon_mask)
         rgb_comps = self.rgb_io.compress_batch(image=masked, mask=recon_mask,
                                                rate_gate=rate_gate,
-                                               deadzone=deadzone)
+                                               deadzone=deadzone,
+                                               stream_format=stream_format)
         return [pack_rgba(h, w, rgb_comps[i], mask_comps.get(i), crop)
                 for i in range(b)]
 
@@ -326,6 +365,37 @@ class RGBAFileCodec:
             m = jnp.zeros((b, hp, wp, 1), jnp.float32)
             return m.at[:, :h, :w].set(1.0)
 
+        sf = metas[0]["stream_format"]
+        assert all(m["stream_format"] == sf for m in metas), \
+            "decode_batch requires one stream format per batch"
+        if sf == "lanes32":
+            # v3 lane streams: both codecs decode wholly on-device (one
+            # dispatch each, decompress_device) — no index round trips
+            with_mask = [i for i, m in enumerate(metas)
+                         if m["mask"] is not None]
+            if with_mask:
+                rm_sub = self.mask_io.decompress_device(
+                    [metas[i]["mask"] for i in with_mask])
+
+                def scatter_mask(rm_s):
+                    rm_s = jnp.round(jnp.clip(rm_s, 0, 1) * 255.0) / 255.0
+                    rm_s = constraint_rgb(rm_s)
+                    return base_mask().at[jnp.asarray(with_mask)].set(rm_s)
+
+                recon_mask = self._jit(
+                    f"dec_mask{(b, h, w, hp, wp) + tuple(with_mask)}",
+                    scatter_mask)(rm_sub)
+            else:
+                recon_mask = self._jit(f"dec_base{(b, h, w, hp, wp)}",
+                                       base_mask)()
+            from ..ops.mask_pyramid import mask_pyramid
+            md = self._jit("mask_pyr", lambda rm: mask_pyramid(rm))(
+                recon_mask)
+            rgb = self.rgb_io.decompress_device(
+                [m["rgb"] for m in metas], md=(md[1], md[2]),
+                max_slices=max_slices)
+            return self._finish(rgb, recon_mask, b, h, w, crop, output)
+
         # rate-gated blobs always carry the encoder's exact gate bitmap
         # (container section 5) — never re-derive it from the decoded mask
         gate_host = np.stack([m["rgb"]["gate"] for m in metas]) \
@@ -357,6 +427,12 @@ class RGBAFileCodec:
             recon_mask = self._jit(f"dec_base{(b, h, w, hp, wp)}",
                                    base_mask)()
         rgb = self.rgb_io.decode_image(y_rgb, mask=recon_mask, device=True)
+        return self._finish(rgb, recon_mask, b, h, w, crop, output)
+
+    def _finish(self, rgb, recon_mask, b, h, w, crop, output):
+        """Shared decode tail: fetch the (cropped) RGBA in the requested
+        dtype and place it back on its canvas when bbox-coded."""
+        import jax.numpy as jnp
 
         if output == "uint8":
             pack = self._jit(f"pack_u8{(h, w)}", lambda x, m: jnp.round(

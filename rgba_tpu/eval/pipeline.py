@@ -63,11 +63,12 @@ class PipelinedCodec:
                                  list(bl), output=output, **kw))
 
     def roundtrip_stream(self, batches: Iterable[tuple],
-                         output: str = "float32") -> Iterator[tuple]:
+                         output: str = "float32",
+                         stream_format: str = "v64") -> Iterator[tuple]:
         """Encode AND decode each batch, pipelined; yields (blobs, rgba).
         This is the serving loop shape: full enc+dec per request batch."""
         def step(ba):
-            blobs = self.codec.encode_batch(*ba)
+            blobs = self.codec.encode_batch(*ba, stream_format=stream_format)
             return blobs, self.codec.decode_batch(blobs, output=output)
         yield from self._run(batches, step)
 

@@ -1,0 +1,130 @@
+"""End-to-end lane-format (v3) codec: on-device rANS decode.
+
+The v3 container carries one 32-bit lane-interleaved rANS stream per
+codec and decodes it wholly on-device (CodecIO.decompress_device — the
+z decode, the channel-AR slice loop, and the synthesis transform run in
+ONE jit program, entropy/device_rans.py).  These tests pin the lane
+path against the v1/v2 host-coder chain: same symbols, same
+reconstruction, through gating, progressive preview, and opaque-alpha
+blobs.  Reference analog for the decode semantics:
+AutoEncoderRGB_Journal.py:373-415.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgba_tpu.native import rans
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not rans.available(),
+                       reason="native rans unavailable"),
+]
+
+
+@pytest.fixture(scope="module")
+def codec():
+    from rgba_tpu.eval.codec_io import CodecIO
+    from rgba_tpu.eval.container import RGBAFileCodec
+    from rgba_tpu.models.mask_codec import MaskCodec
+    from rgba_tpu.models.rgb_codec import RGBCodec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+    from rgba_tpu.data.synthetic import synthetic_rgba_batch
+
+    key = jax.random.PRNGKey(0)
+    d = synthetic_rgba_batch(2, 64, 64, seed=5)
+    mask_model = MaskCodec()
+    mask_params = mask_model.init(
+        {"params": key, "noise": key}, jnp.asarray(d["alpha"]),
+        training=False)["params"]
+    rgb_model = RGBCodec()
+    me = mask_pyramid(jnp.asarray(d["alpha"]))
+    rgb_params = rgb_model.init(
+        {"params": key, "noise": key}, jnp.asarray(d["image"]),
+        jnp.asarray(d["alpha"]), jnp.asarray(d["alpha"]), me,
+        training=False)["params"]
+    return RGBAFileCodec(CodecIO(rgb_model, rgb_params, kind="rgb"),
+                         CodecIO(mask_model, mask_params, kind="mask")), d
+
+
+def test_lane_container_matches_host_chain(codec):
+    c, d = codec
+    blobs64 = c.encode_batch(d["image"], d["alpha"])
+    blobs32 = c.encode_batch(d["image"], d["alpha"],
+                             stream_format="lanes32")
+    # lane streams pay ~6 bytes per lane (4 flush + 2 word-count header)
+    # but code the identical symbols — bounded by streams x lanes x 8
+    s64 = sum(len(b) for b in blobs64)
+    s32 = sum(len(b) for b in blobs32)
+    assert s64 < s32 < s64 + 4 * 128 * 8 + 256, (s64, s32)
+
+    out64 = c.decode_batch(blobs64)
+    out32 = c.decode_batch(blobs32)
+    assert out32.shape == out64.shape == (2, 64, 64, 4)
+    assert np.isfinite(out32).all()
+    # identical decoded symbols -> identical latents up to program
+    # fusion; the 8-bit output contract bounds any residual difference
+    assert np.abs(out32 - out64).max() <= 1.5 / 255.0
+
+
+def test_lane_latent_matches_chain_latent(codec):
+    c, d = codec
+    from rgba_tpu.ops.mask_pyramid import mask_pyramid
+
+    comp64 = c.rgb_io.compress_batch(image=d["image"], mask=d["alpha"])
+    comp32 = c.rgb_io.compress_batch(image=d["image"], mask=d["alpha"],
+                                     stream_format="lanes32")
+    _, y64 = c.rgb_io.decompress_batch_with_latent(
+        comp64, mask=d["alpha"], device=True)
+    md = mask_pyramid(jnp.asarray(d["alpha"]))
+    _, y32 = c.rgb_io.decompress_device(comp32, md=(md[1], md[2]),
+                                        _return_latent=True)
+    err = float(jnp.max(jnp.abs(y64 - y32)))
+    assert err < 1e-4, err
+
+
+def test_lane_rate_gated_roundtrip(codec):
+    c, d = codec
+    alpha = d["alpha"].copy()
+    alpha[:, :32] = 0.0  # top half fully transparent -> gate engages
+    image = np.where(alpha > 0, d["image"], 0.0)
+    blobs = c.encode_batch(image, alpha, rate_gate=True,
+                           stream_format="lanes32")
+    plain = c.encode_batch(image, alpha, rate_gate=False,
+                           stream_format="lanes32")
+    # at this tiny untrained scale the ~150 B zlib'd gate section can
+    # outweigh the skipped symbol bytes — size wins are pinned on real
+    # content by tools/rate_gate_codec_probe.py (PERFORMANCE.md −9.1%);
+    # here the claim is stream-sync correctness of the masked lane scan
+    assert sum(map(len, blobs)) < sum(map(len, plain)) + 1024
+    out = c.decode_batch(blobs)
+    ref = c.decode_batch(plain)
+    assert np.isfinite(out).all()
+    # gated cells reconstruct as mu+lrp; visible-region pixels must stay
+    # close to the ungated decode (identical symbols there)
+    vis = np.asarray(alpha[..., 0] > 0)
+    assert np.abs((out[..., :3] - ref[..., :3])[vis]).max() < 0.25
+
+
+def test_lane_progressive_preview(codec):
+    c, d = codec
+    blobs = c.encode_batch(d["image"], d["alpha"],
+                           stream_format="lanes32")
+    full = c.decode_batch(blobs)
+    k3 = c.decode_batch(blobs, max_slices=3)
+    assert k3.shape == full.shape
+    assert np.isfinite(k3).all()
+    # the chain path's progressive decode is the oracle
+    blobs64 = c.encode_batch(d["image"], d["alpha"])
+    k3_chain = c.decode_batch(blobs64, max_slices=3)
+    assert np.abs(k3 - k3_chain).max() <= 1.5 / 255.0
+
+
+def test_lane_opaque_alpha(codec):
+    c, d = codec
+    ones = np.ones_like(d["alpha"])
+    blobs = c.encode_batch(d["image"], ones, stream_format="lanes32")
+    out = c.decode_batch(blobs)
+    np.testing.assert_array_equal(out[..., 3], 1.0)
