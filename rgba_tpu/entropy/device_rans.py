@@ -157,6 +157,138 @@ def from_steps(stepped, n: int):
     return arr.reshape(arr.shape[:-2] + (-1,))[..., :n]
 
 
+# ----------------------------------------------------------- encode side
+
+def _emit(out_words, wptr, need, word):
+    """Masked 16-bit emit: lanes with ``need`` append ``word`` at their
+    write pointer.  out_words is (..., L, W); wptr (..., L)."""
+    w = out_words.shape[-1]
+    slot = jnp.minimum(wptr, w - 1)
+    cur = jnp.take_along_axis(out_words, slot[..., None],
+                              axis=-1)[..., 0]
+    val = jnp.where(need, word.astype(out_words.dtype), cur)
+    out_words = jnp.put_along_axis(out_words, slot[..., None],
+                                   val[..., None], axis=-1,
+                                   inplace=False)
+    return out_words, wptr + need.astype(jnp.int32)
+
+
+def _udiv16(state, f):
+    """Exact ``state // f`` when the quotient fits 16 bits (guaranteed
+    post-renorm: state < f << 16): a 16-step bit search of
+    multiply-compares — uint32-overflow-free (q <= 0xFFFF, f <= 0x10000
+    so q*f < 2^32) and exact on every backend, unlike native integer
+    division whose TPU lowering is slow."""
+    q = jnp.zeros_like(state)
+    for bit in reversed(range(16)):
+        cand = q | jnp.uint32(1 << bit)
+        q = jnp.where(cand * f <= state, cand, q)
+    return q
+
+
+def _put_sym(state, out_words, wptr, act, start, freq):
+    """Masked rANS symbol push (mirrors the host enc32_put)."""
+    f = freq.astype(jnp.uint32)
+    need = act & (state >= (f << 16))
+    out_words, wptr = _emit(out_words, wptr, need,
+                            state & jnp.uint32(0xFFFF))
+    state = jnp.where(need, state >> 16, state)
+    q = _udiv16(state, f)
+    new = (q << PRECISION) + (state - q * f) + start.astype(jnp.uint32)
+    return jnp.where(act, new, state), out_words, wptr
+
+
+def _put_bits(state, out_words, wptr, act, val, nbits):
+    """Masked bypass bits push (mirrors the host enc32_put_bits)."""
+    need = act & (state >= jnp.uint32(1 << (32 - nbits)))
+    out_words, wptr = _emit(out_words, wptr, need,
+                            state & jnp.uint32(0xFFFF))
+    state = jnp.where(need, state >> 16, state)
+    new = (state << nbits) | val.astype(jnp.uint32)
+    return jnp.where(act, new, state), out_words, wptr
+
+
+def encode_segment(tables: dict, state, wptr, out_words, indexes, symbols,
+                   active):
+    """Reverse-scan encode of one segment: processes steps T-1..0 (rANS
+    encodes in reverse of decode order) pushing, per symbol, its bypass
+    chunks (high chunk first), the chunk count, then the CDF-coded
+    value — the exact reverse of ``decode_segment``'s read order, so the
+    emitted words (reversed per lane + the flushed final state) decode
+    bit-identically.  indexes/symbols/active are (T, ..., L) in DECODE
+    step order; out_words (..., L, W) accumulates emissions in reverse
+    order (callers reverse per-lane via ``finish_lanes``)."""
+    cdfs = tables["cdfs"]
+    max_values = tables["max_values"]
+    offsets = tables["offsets"]
+
+    def step(carry, inp):
+        state, wptr, out_words = carry
+        idx, sym, act = inp
+        maxv = max_values[idx]
+        value = sym - offsets[idx]
+        neg = value < 0
+        over = value >= maxv
+        raw = jnp.where(neg, -2 * value - 1,
+                        jnp.where(over, 2 * (value - maxv), 0))
+        is_max = act & (neg | over)
+        value = jnp.where(is_max, maxv, value)
+        # chunk count: raw is int32 so n_byp <= 8 < 15 (single count
+        # chunk; the host coder's count chaining is unreachable)
+        n_byp = jnp.zeros_like(raw)
+        for j in range(1, _MAX_BYPASS_CHUNKS + 1):
+            n_byp = jnp.where(
+                (raw >> ((j - 1) * _BYPASS_BITS)) != 0, j, n_byp)
+        # push bypass chunks high-to-low, then the count, then the value
+        for j in reversed(range(_MAX_BYPASS_CHUNKS)):
+            actj = is_max & (j < n_byp)
+            chunk = (raw >> (j * _BYPASS_BITS)) & ((1 << _BYPASS_BITS) - 1)
+            state, out_words, wptr = _put_bits(
+                state, out_words, wptr, actj, chunk, _BYPASS_BITS)
+        state, out_words, wptr = _put_bits(
+            state, out_words, wptr, is_max, n_byp, _BYPASS_BITS)
+        cdf = cdfs[idx]
+        start = jnp.take_along_axis(cdf, value[..., None], axis=-1)[..., 0]
+        nxt = jnp.take_along_axis(cdf, value[..., None] + 1,
+                                  axis=-1)[..., 0]
+        state, out_words, wptr = _put_sym(
+            state, out_words, wptr, act, start, nxt - start)
+        return (state, wptr, out_words), None
+
+    (state, wptr, out_words), _ = lax.scan(
+        step, (state, wptr, out_words), (indexes, symbols, active),
+        reverse=True)
+    return state, wptr, out_words
+
+
+def init_encode(batch_shape, lanes: int, max_words: int):
+    """Fresh encode carries: state = L0, empty word buffers."""
+    state = jnp.full(batch_shape + (lanes,), _L32, jnp.uint32)
+    wptr = jnp.zeros(batch_shape + (lanes,), jnp.int32)
+    out_words = jnp.zeros(batch_shape + (lanes, max_words), jnp.int32)
+    return state, wptr, out_words
+
+
+def finish_lanes(state, wptr, out_words):
+    """Flush + reorder into decode order: each lane's stream becomes
+    [state_hi, state_lo, emitted words reversed].  Returns
+    (words (..., L, W+2) int32, nwords (..., L) int32, overflow bool) —
+    overflow means some lane exceeded the static word budget and the
+    caller must re-encode on the host (the streams are unusable)."""
+    w = out_words.shape[-1]
+    overflow = jnp.any(wptr >= w)
+    # reversed gather: decode position i reads emitted word wptr-1-i
+    pos = jnp.arange(w)
+    src = wptr[..., None] - 1 - pos
+    rev = jnp.take_along_axis(out_words, jnp.clip(src, 0, w - 1), axis=-1)
+    rev = jnp.where(src >= 0, rev, 0)
+    head = jnp.stack([(state >> 16).astype(jnp.int32),
+                      (state & jnp.uint32(0xFFFF)).astype(jnp.int32)],
+                     axis=-1)
+    words = jnp.concatenate([head, rev], axis=-1)
+    return words, wptr + 2, overflow
+
+
 # --------------------------------------------------------------- packing
 
 def pack_streams(per_image: Sequence[tuple], lanes: int,

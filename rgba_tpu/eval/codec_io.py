@@ -37,6 +37,7 @@ Two serving-oriented upgrades over the reference's per-image serial loop
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence
@@ -235,6 +236,153 @@ class CodecIO:
         if gate is not None:
             out["gate"] = gate
         return out
+
+    def _lane_compress_device(self, pre, args, gate_host, rg: bool,
+                              dzd: bool, lanes: Optional[int]):
+        """Device-encode path of compress_batch(stream_format="lanes32"):
+        one dispatch produces the finished lane words; the host only
+        serializes them.  Returns the blob list, or None when a lane
+        overflowed its static word budget (caller falls back to the
+        host coder — byte-identical output either way)."""
+        lead = args[1] if (rg and self.kind == "rgb") else args[0]
+        bsz, hp, wp = lead.shape[0], lead.shape[1], lead.shape[2]
+        zh, zw = hp // 64, wp // 64
+        lh, lw = hp // 8, wp // 8
+        n_total = zh * zw * 192 + lh * lw * 80
+        lanes = lanes or min(
+            self.LANES_DEFAULT,
+            max(8, 1 << int(np.log2(max(n_total // 512, 8)))))
+        # word budget: 16 bits/word -> 8 coded bits per symbol per lane
+        # on average before overflow; typical content codes ~0.4
+        budget = max(64, (n_total // lanes) // 2 + 16)
+        fn = self._lane_encode_variant(rg, dzd, lanes, budget)
+        words_d, nwords_d, ovf_d, _ = fn(
+            self._fp.flat, self._lane_tables()["buf_dev"], *pre, *args)
+        nwords, ovf = jax.device_get((nwords_d, ovf_d))
+        if bool(ovf):
+            return None
+        wmax = int(nwords.max())
+        wbucket = min(int(words_d.shape[-1]), -(-wmax // 64) * 64)
+        words = np.asarray(jax.device_get(words_d[:, :, :wbucket]))
+
+        def one(b):
+            flat = np.concatenate(
+                [words[b, l, :nwords[b, l]] for l in range(lanes)])
+            out = {"format": "lanes32", "lanes": lanes,
+                   "stream": device_rans.split_stream(flat, nwords[b]),
+                   "shape": (zh, zw)}
+            if gate_host is not None:
+                out["gate"] = gate_host[b]
+            return out
+
+        if bsz == 1:
+            return [one(0)]
+        return list(self._pool.map(one, range(bsz)))
+
+    def _build_lane_encode_fn(self, gated: bool, deadzoned: bool,
+                              lanes: int, budget: int):
+        """ONE jit program for the ENTIRE lane-format encode: analysis
+        transform, hyper path, per-slice (mu, sigma, symbols, indexes),
+        then the reverse-scan rANS encode of every segment on-device
+        (entropy/device_rans.py encode_segment).  Only the emitted
+        words cross to the host (~stream-sized) — the v64 path fetches
+        the full symbol+index tensors instead (~30 MB per Kodak batch
+        16, the encode bottleneck under per-byte transfer costs)."""
+        model = self.model
+        kind = self.kind
+        layout = self._lane_tables()["layout"]
+        build_indexes = self.gc.build_indexes
+
+        def run(params, tbuf, *args):
+            def inner(m):
+                rest = list(args)
+                dz = rest.pop(0) if deadzoned else None
+                gate = rest.pop(0) if gated else None
+                if kind == "rgb":
+                    x, mask, me2, me3 = rest
+                    y = m.encoder(m.policy.cast_in(x), me2, me3)
+                else:
+                    (mask_in,) = rest
+                    y = m.encoder(m.policy.cast_in(mask_in))
+                y = y.astype(jnp.float32)
+                bsz, h, w, mch = y.shape
+                z = m.prior.h_a(y).astype(jnp.float32)
+                medians = m.prior.entropy_bottleneck.medians()
+                z_sym = jnp.round(z - medians[None, None, None, :])
+                z_hat = z_sym + medians[None, None, None, :]
+                lm, ls = m.prior.hyper_decode(z_hat)
+                lm = lm.astype(jnp.float32)
+                ls = ls.astype(jnp.float32)
+
+                zh, zw, zc = z.shape[1], z.shape[2], z.shape[3]
+                z_idx = device_rans.z_channel_indexes(zh, zw, zc) \
+                    + layout["z_row_offset"]
+                segments = [(z_sym.reshape(bsz, -1).astype(jnp.int32),
+                             jnp.broadcast_to(jnp.asarray(z_idx)[None],
+                                              (bsz, z_idx.size)), False)]
+
+                sw = mch // m.prior.num_slices
+                y_hat_slices: List = []
+                for i in range(m.prior.num_slices):
+                    y_slice = y[..., i * sw:(i + 1) * sw]
+                    support = y_hat_slices[:m.prior.max_support_slices]
+                    mu, scale = m.prior.slice_stats(lm, ls, support, i,
+                                                    (h, w))
+                    index = build_indexes(scale).astype(jnp.int32)
+                    r = y_slice - mu
+                    if deadzoned:
+                        sym = jnp.sign(r) * jnp.maximum(
+                            jnp.floor(jnp.abs(r) + 0.5 - dz), 0.0)
+                    else:
+                        sym = jnp.round(r)
+                    if gated:
+                        sym = sym * gate.astype(jnp.float32)
+                    y_hat = sym + mu
+                    y_hat = y_hat + m.prior.slice_lrp(lm, support, y_hat, i)
+                    y_hat_slices.append(y_hat)
+                    segments.append((sym.reshape(bsz, -1).astype(jnp.int32),
+                                     index.reshape(bsz, -1), True))
+
+                tables = device_rans.unpack_table_buffer(tbuf, layout)
+                state, wptr, out = device_rans.init_encode(
+                    (bsz,), lanes, budget)
+                for sym_f, idx_f, gateable in reversed(segments):
+                    n_i = sym_f.shape[-1]
+                    idx_steps = device_rans.to_steps(idx_f, lanes)
+                    sym_steps = device_rans.to_steps(sym_f, lanes)
+                    if gateable and gated:
+                        act = jnp.broadcast_to(
+                            gate.astype(bool), (bsz, h, w, sw))
+                        act_steps = device_rans.to_steps(
+                            act.reshape(bsz, -1), lanes, fill=False)
+                    else:
+                        t_i = -(-n_i // lanes)
+                        act_np = (np.arange(t_i * lanes) < n_i) \
+                            .reshape(t_i, 1, lanes)
+                        act_steps = jnp.broadcast_to(
+                            jnp.asarray(act_np), (t_i, bsz, lanes))
+                    state, wptr, out = device_rans.encode_segment(
+                        tables, state, wptr, out, idx_steps, sym_steps,
+                        act_steps)
+                words, nwords, overflow = device_rans.finish_lanes(
+                    state, wptr, out)
+                return (words.astype(jnp.uint16), nwords, overflow,
+                        jnp.asarray([zh, zw], jnp.int32))
+
+            return model.apply({"params": params}, method=inner)
+
+        return self._pjit(run)
+
+    def _lane_encode_variant(self, gated: bool, deadzoned: bool,
+                             lanes: int, budget: int):
+        key = ("enc", gated, deadzoned, lanes, budget)
+        with self._variant_lock:
+            fn = self._lane_fns.get(key)
+            if fn is None:
+                fn = self._build_lane_encode_fn(gated, deadzoned, lanes,
+                                                budget)
+                self._lane_fns[key] = fn
+        return fn
 
     def _lane_decode_fn(self, k: int, gated: bool, zh: int, zw: int):
         """One jitted program for the ENTIRE decode: z lane decode ->
@@ -693,7 +841,11 @@ class CodecIO:
         ``lanes`` interleaved 32-bit rANS lanes): decompress_device
         then decodes the whole AR chain on-chip in one dispatch.  Costs
         ~4 flush bytes per lane (~+1-2 %% rate at Kodak sizes);
-        bit-exact symbols either way."""
+        bit-exact symbols either way.  Lane-format encode runs WHOLLY
+        on-device by default (reverse-scan rANS, device_encode=True):
+        only the emitted words cross to the host; a lane overflowing
+        the static word budget (pathological rates) falls back to the
+        host coder transparently, byte-identical either way."""
         rg = self.rate_gate if rate_gate is None else (
             bool(rate_gate) and self.kind == "rgb")
         dzd = float(deadzone) > 0.0
@@ -712,11 +864,22 @@ class CodecIO:
                 # 8-bit-boundary alpha pixel and desync the stream)
                 gate_host = np.asarray(jax.device_get(me[2])) > 0
                 args = (jnp.asarray(gate_host),) + args
-            syms_d, idxs_d, z_d, z_shape = \
-                self._compress_variant(rg, dzd)(self._fp.flat, *pre, *args)
         else:
             args = (jnp.asarray(mask),)
             batch = mask.shape[0]
+
+        if stream_format == "lanes32" and os.environ.get(
+                "RGBA_TPU_DEVICE_ENCODE", "1") == "1":
+            out = self._lane_compress_device(pre, args, gate_host, rg,
+                                             dzd, lanes)
+            if out is not None:
+                return out
+            # overflow fallback: re-run through the host coder below
+
+        if self.kind == "rgb":
+            syms_d, idxs_d, z_d, z_shape = \
+                self._compress_variant(rg, dzd)(self._fp.flat, *pre, *args)
+        else:
             syms_d, idxs_d, z_d, z_shape = \
                 self._compress_variant(False, dzd)(self._fp.flat, *pre, *args)
 

@@ -160,6 +160,85 @@ def test_merged_tables_and_buffer_pack(gauss_tables):
     np.testing.assert_array_equal(dev, sym)
 
 
+def _device_encode(tables_np, sym, idx, seg_ends, lanes, max_words,
+                   alive=None):
+    """Drive encode_segment across segments in reverse order (rANS
+    encodes in reverse) exactly as CodecIO's device compress will."""
+    tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+    state, wptr, out_words = dr.init_encode((), lanes, max_words)
+    segs = []
+    start = 0
+    for end in seg_ends:
+        seg_alive = (np.ones(end - start, bool) if alive is None
+                     else alive[start:end])
+        segs.append((idx[start:end], sym[start:end], seg_alive))
+        start = end
+    for seg_idx, seg_sym, seg_alive in reversed(segs):
+        n = len(seg_idx)
+        idx_steps = dr.to_steps(jnp.asarray(seg_idx)[None], lanes)[:, 0]
+        sym_steps = dr.to_steps(jnp.asarray(seg_sym)[None], lanes)[:, 0]
+        act_steps = dr.to_steps(
+            jnp.asarray(seg_alive)[None], lanes, fill=False)[:, 0]
+        state, wptr, out_words = dr.encode_segment(
+            tables, state, wptr, out_words, idx_steps, sym_steps,
+            act_steps)
+    words, nwords, overflow = dr.finish_lanes(state, wptr, out_words)
+    assert not bool(overflow)
+    return np.asarray(words), np.asarray(nwords)
+
+
+@pytest.mark.parametrize("lanes", [1, 16, 64])
+def test_device_encode_bit_exact_vs_cpp(gauss_tables, lanes):
+    """Device reverse-scan encode emits byte-identical lane streams to
+    the C++ encoder (same renorm decisions, same bypass order)."""
+    cdfs, lens, offs = gauss_tables
+    rng = np.random.RandomState(100 + lanes)
+    n = 3000
+    sym, idx = _random_payload(rng, n, cdfs.shape[0])
+    seg_ends = np.array([500, 501, 1700, n], dtype=np.int64)
+    ref_words, ref_lnw = rans.encode_lanes(sym, idx, seg_ends, lanes,
+                                           cdfs, lens, offs)
+    tables = dr.pack_tables(cdfs, lens, offs)
+    words, nwords = _device_encode(tables, sym, idx, seg_ends, lanes,
+                                   max_words=4 * n // lanes + 64)
+    np.testing.assert_array_equal(nwords, ref_lnw)
+    off = 0
+    for l in range(lanes):
+        np.testing.assert_array_equal(
+            words[l, :nwords[l]], ref_words[off:off + ref_lnw[l]],
+            err_msg=f"lane {l}")
+        off += ref_lnw[l]
+
+
+def test_device_encode_gated_and_overflow(gauss_tables):
+    cdfs, lens, offs = gauss_tables
+    rng = np.random.RandomState(9)
+    n, lanes = 1200, 8
+    sym, idx = _random_payload(rng, n, cdfs.shape[0], extreme_every=11)
+    alive = rng.rand(n) > 0.5
+    seg_ends = np.array([n], dtype=np.int64)
+    ref_words, ref_lnw = rans.encode_lanes(sym, idx, seg_ends, lanes,
+                                           cdfs, lens, offs, alive=alive)
+    tables = dr.pack_tables(cdfs, lens, offs)
+    words, nwords = _device_encode(tables, sym, idx, seg_ends, lanes,
+                                   max_words=n, alive=alive)
+    np.testing.assert_array_equal(nwords, ref_lnw)
+    flat = np.concatenate([words[l, :nwords[l]] for l in range(lanes)])
+    np.testing.assert_array_equal(flat, ref_words)
+
+    # overflow: a 2-word budget must flag, not corrupt silently
+    tables_j = {k: jnp.asarray(v) for k, v in tables.items()}
+    state, wptr, out_words = dr.init_encode((), lanes, 2)
+    idx_steps = dr.to_steps(jnp.asarray(idx)[None], lanes)[:, 0]
+    sym_steps = dr.to_steps(jnp.asarray(sym)[None], lanes)[:, 0]
+    act = dr.to_steps(jnp.asarray(np.ones(n, bool))[None], lanes,
+                      fill=False)[:, 0]
+    state, wptr, out_words = dr.encode_segment(
+        tables_j, state, wptr, out_words, idx_steps, sym_steps, act)
+    _, _, overflow = dr.finish_lanes(state, wptr, out_words)
+    assert bool(overflow)
+
+
 def test_stream_serialization_roundtrip(gauss_tables):
     cdfs, lens, offs = gauss_tables
     rng = np.random.RandomState(11)

@@ -122,6 +122,17 @@ def test_lane_progressive_preview(codec):
     assert np.abs(k3 - k3_chain).max() <= 1.5 / 255.0
 
 
+def test_device_encode_blobs_byte_identical_to_host(codec, monkeypatch):
+    """The on-device reverse-scan encoder and the C++ host lane coder
+    must produce byte-identical containers (same renorm decisions)."""
+    c, d = codec
+    monkeypatch.setenv("RGBA_TPU_DEVICE_ENCODE", "0")
+    host = c.encode_batch(d["image"], d["alpha"], stream_format="lanes32")
+    monkeypatch.setenv("RGBA_TPU_DEVICE_ENCODE", "1")
+    dev = c.encode_batch(d["image"], d["alpha"], stream_format="lanes32")
+    assert [bytes(a) for a in host] == [bytes(a) for a in dev]
+
+
 def test_lane_opaque_alpha(codec):
     c, d = codec
     ones = np.ones_like(d["alpha"])

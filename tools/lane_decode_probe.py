@@ -118,7 +118,15 @@ def main():
                   f"({B / min(times):.2f} img/s)", flush=True)
 
         enc("encode v64  ")
-        enc("encode lanes", stream_format="lanes32")
+        enc("encode lanes (device)", stream_format="lanes32")
+        os.environ["RGBA_TPU_DEVICE_ENCODE"] = "0"
+        try:
+            # host lane coder: same bytes, pays the ~30 MB symbol fetch
+            codec.encode_batch(datas[0]["image"], datas[0]["alpha"],
+                               stream_format="lanes32")  # warm host path
+            enc("encode lanes (host)  ", stream_format="lanes32")
+        finally:
+            os.environ["RGBA_TPU_DEVICE_ENCODE"] = "1"
 
     print("LANE_DECODE_PROBE_OK", flush=True)
 
