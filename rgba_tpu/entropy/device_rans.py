@@ -46,6 +46,10 @@ _MASK16 = (1 << 16) - 1
 _L32 = 1 << 16
 _BYPASS_BITS = 4
 _MAX_BYPASS_CHUNKS = 8  # 32-bit raw values need at most 8 4-bit chunks
+# scan-body unroll: the decode/encode scans run thousands of tiny VPU
+# steps; unrolling amortizes the per-iteration loop overhead without
+# changing results (the carry chain is untouched)
+SCAN_UNROLL = 4
 
 
 def pack_tables(cdfs, cdf_lengths, offsets, pad_cols: int = 0) -> dict:
@@ -126,7 +130,8 @@ def decode_segment(tables: dict, words, state, ptr, indexes, active):
         sym = jnp.where(act, value + offsets[idx], 0)
         return (state, ptr), sym
 
-    (state, ptr), syms = lax.scan(step, (state, ptr), (indexes, active))
+    (state, ptr), syms = lax.scan(step, (state, ptr), (indexes, active),
+                                  unroll=SCAN_UNROLL)
     return syms, state, ptr
 
 
@@ -257,7 +262,7 @@ def encode_segment(tables: dict, state, wptr, out_words, indexes, symbols,
 
     (state, wptr, out_words), _ = lax.scan(
         step, (state, wptr, out_words), (indexes, symbols, active),
-        reverse=True)
+        reverse=True, unroll=SCAN_UNROLL)
     return state, wptr, out_words
 
 
