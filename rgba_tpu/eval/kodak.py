@@ -192,7 +192,8 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
         # cached per model object like make_eval_step
         codec_forward = _make_codec_forward(rgb_model)
     sums = {k: 0.0 for k in ("bpp", "psnr", "msssim", "msssimdb", "time",
-                             "real_bpp", "codec_time", "codec_err")}
+                             "real_bpp", "codec_time", "codec_err",
+                             "psnr_real")}
     n = len(ds)
     for i in range(n):
         item = ds.get(i)
@@ -226,6 +227,23 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
             x_fwd = jax.device_get(codec_forward(
                 rgb_params, jnp.asarray(masked), jnp.asarray(rm)))
             err = float(np.abs(rgba[..., :3] - x_fwd).max())
+            # the PRODUCT metric: decoded-image PSNR against ground
+            # truth over visible pixels (reference reconstruct_error
+            # normalization, AutoEncoderRGB_Journal.py:36-64).  The
+            # codec_err diagnostic above is fp-fusion-sensitive: the
+            # compress program and this independently-fused forward can
+            # legally flip a round() tie at sharp-prior checkpoints and
+            # the AR chain amplifies it (round-5 desync probes:
+            # decoded symbols == encoder symbols everywhere, serial ==
+            # tail-parallel == lane decode, yet |dec - fwd| up to 0.77
+            # on one image) — psnr_real is the check that cannot lie
+            # about delivered quality.
+            vis = np.asarray(item["alpha"][None] > 0, np.float32)
+            n_vis = max(float(vis.sum()) * 3.0, 1.0)
+            mse_real = float(
+                (((rgba[..., :3] - item["image"][None]) * vis) ** 2).sum()
+                / n_vis)
+            psnr_real = 10 * np.log10(1.0 / max(mse_real, 1e-12))
             if bool(np.all(item["alpha"] == 1.0)):
                 # opaque: container stores no mask stream and decodes an
                 # all-ones alpha, while the eval forward still runs the
@@ -237,6 +255,7 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
             sums["real_bpp"] += real_bpp
             sums["codec_time"] += tc1 - tc0
             sums["codec_err"] += max(err, mask_err)
+            sums["psnr_real"] += psnr_real
             logger.info(
                 "real bitstream: %d bytes = %.6f bpp (est %.6f), "
                 "enc+dec %.3fs, |dec - forward| max %.2e (mask %.2e)",
@@ -260,7 +279,7 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
 
     avg = {k: v / max(n, 1) for k, v in sums.items()}
     if not real_codec:
-        for k in ("real_bpp", "codec_time", "codec_err"):
+        for k in ("real_bpp", "codec_time", "codec_err", "psnr_real"):
             avg.pop(k, None)
     logger.info(
         "Dataset Average result---Time:{time:.6f}, Bpp:{bpp:.6f}, "
