@@ -85,11 +85,48 @@ def _get_bits(words, state, ptr, act, nbits):
     return val, state, ptr
 
 
-def decode_segment(tables: dict, words, state, ptr, indexes, active):
+def build_inverse(cdfs, cdf_lengths) -> dict:
+    """Dense inverse lookup for the symbol search: for every (row, cum)
+    pair precompute the decoded value and its (start, freq).  One
+    (..., L) gather per scan step replaces the (..., L, C) row gather +
+    C compares — the row-search path moved ~0.5 MB/step at Kodak batch
+    8 and made the decode scan gather-bound (round-5 ladder).
+
+    Tables (numpy, upload once — the Gaussian scale table is static
+    across checkpoints):
+      si:  (rows * 2^16,) int32 = start | (freq - 1) << 16
+      val: (rows * 2^15,) int32 = two 16-bit values per word
+           (cum even -> low half, odd -> high half)"""
+    cdfs = np.asarray(cdfs, dtype=np.int64)
+    lens = np.asarray(cdf_lengths, dtype=np.int32)
+    rows = cdfs.shape[0]
+    cum = np.arange(1 << PRECISION, dtype=np.int64)
+    si = np.empty((rows, 1 << PRECISION), np.int32)
+    val = np.empty((rows, 1 << PRECISION), np.int32)
+    for r in range(rows):
+        row = cdfs[r, :lens[r]]
+        v = np.searchsorted(row, cum, side="right") - 1
+        v = np.clip(v, 0, lens[r] - 2)
+        start = row[v]
+        freq = row[v + 1] - start
+        si[r] = (start | ((freq - 1) << 16)).astype(np.int32)
+        val[r] = v.astype(np.int32)
+    packed = (val[:, 0::2] | (val[:, 1::2] << 16)).astype(np.int32)
+    return {"si": si.reshape(-1), "val": packed.reshape(-1)}
+
+
+def decode_segment(tables: dict, words, state, ptr, indexes, active,
+                   inverse: Optional[dict] = None):
     """Decode one segment: ``indexes``/``active`` are (T, ..., L) with
     the scan over T; ``state``/``ptr`` are (..., L) carries from the
     previous segment (or ``init_lanes``).  Returns (symbols, state, ptr)
     with symbols shaped like ``indexes`` (masked steps decode 0).
+
+    With ``inverse`` (build_inverse of the SAME rows the indexes refer
+    to), the symbol search is two (..., L) table gathers instead of a
+    row gather + C compares; results are bit-identical (pinned in
+    tests) — use it for the Gaussian y segments, keep the row search
+    for the short params-dependent z segment.
 
     All arithmetic is uint32 with int32 table values — bit-exact with
     the C++ twin ``rans32_decode_lanes`` (pinned in tests)."""
@@ -100,33 +137,52 @@ def decode_segment(tables: dict, words, state, ptr, indexes, active):
     def step(carry, inp):
         state, ptr = carry
         idx, act = inp
-        cdf = cdfs[idx]                       # (..., L, C)
         cum = (state & _MASK16).astype(jnp.int32)
-        value = jnp.sum((cdf[..., 1:] <= cum[..., None]),
-                        axis=-1).astype(jnp.int32)
-        start = jnp.take_along_axis(cdf, value[..., None], axis=-1)[..., 0]
-        nxt = jnp.take_along_axis(cdf, value[..., None] + 1, axis=-1)[..., 0]
-        freq = (nxt - start).astype(jnp.uint32)
+        if inverse is not None:
+            si = inverse["si"][idx * (1 << PRECISION) + cum]
+            start = si & _MASK16
+            freq = (((si >> 16) & _MASK16) + 1).astype(jnp.uint32)
+            w = inverse["val"][idx * (1 << (PRECISION - 1)) + (cum >> 1)]
+            value = (w >> ((cum & 1) * 16)) & _MASK16
+        else:
+            cdf = cdfs[idx]                   # (..., L, C)
+            value = jnp.sum((cdf[..., 1:] <= cum[..., None]),
+                            axis=-1).astype(jnp.int32)
+            start = jnp.take_along_axis(cdf, value[..., None],
+                                        axis=-1)[..., 0]
+            nxt = jnp.take_along_axis(cdf, value[..., None] + 1,
+                                      axis=-1)[..., 0]
+            freq = (nxt - start).astype(jnp.uint32)
         new_state = (freq * (state >> PRECISION)
                      + cum.astype(jnp.uint32) - start.astype(jnp.uint32))
         state = jnp.where(act, new_state, state)
         state, ptr = _renorm(words, state, ptr, act & (state < _L32))
 
         # bypass escape: value == max_value means the stream carries the
-        # raw magnitude in 4-bit chunks (host coder append_symbol_ops)
+        # raw magnitude in 4-bit chunks (host coder append_symbol_ops).
+        # Escapes are rare, so the whole read sequence is skipped via
+        # lax.cond when no lane needs it (identity otherwise: the reads
+        # are masked per lane and advance nothing for non-escape lanes).
         maxv = max_values[idx]
         is_max = act & (value == maxv)
-        n_byp, state, ptr = _get_bits(words, state, ptr, is_max,
-                                      _BYPASS_BITS)
-        raw = jnp.zeros_like(value)
-        for j in range(_MAX_BYPASS_CHUNKS):
-            actj = is_max & (j < n_byp)
-            bv, state, ptr = _get_bits(words, state, ptr, actj,
-                                       _BYPASS_BITS)
-            raw = raw | jnp.where(actj, bv << (_BYPASS_BITS * j), 0)
-        v = raw >> 1
-        esc = jnp.where((raw & 1) == 1, -v - 1, v + maxv)
-        value = jnp.where(is_max, esc, value)
+
+        def bypass(args):
+            state, ptr = args
+            n_byp, state, ptr = _get_bits(words, state, ptr, is_max,
+                                          _BYPASS_BITS)
+            raw = jnp.zeros_like(value)
+            for j in range(_MAX_BYPASS_CHUNKS):
+                actj = is_max & (j < n_byp)
+                bv, state, ptr = _get_bits(words, state, ptr, actj,
+                                           _BYPASS_BITS)
+                raw = raw | jnp.where(actj, bv << (_BYPASS_BITS * j), 0)
+            v = raw >> 1
+            esc = jnp.where((raw & 1) == 1, -v - 1, v + maxv)
+            return state, ptr, jnp.where(is_max, esc, value)
+
+        state, ptr, value = lax.cond(
+            jnp.any(is_max), bypass, lambda a: (a[0], a[1], value),
+            (state, ptr))
         sym = jnp.where(act, value + offsets[idx], 0)
         return (state, ptr), sym
 
@@ -224,6 +280,7 @@ def encode_segment(tables: dict, state, wptr, out_words, indexes, symbols,
     step order; out_words (..., L, W) accumulates emissions in reverse
     order (callers reverse per-lane via ``finish_lanes``)."""
     cdfs = tables["cdfs"]
+    cdfs_flat = tables["cdfs"].reshape(-1)
     max_values = tables["max_values"]
     offsets = tables["offsets"]
 
@@ -238,13 +295,20 @@ def encode_segment(tables: dict, state, wptr, out_words, indexes, symbols,
                         jnp.where(over, 2 * (value - maxv), 0))
         is_max = act & (neg | over)
         value = jnp.where(is_max, maxv, value)
+
         # chunk count: raw is int32 so n_byp <= 8 < 15 (single count
-        # chunk; the host coder's count chaining is unreachable)
+        # chunk; the host coder's count chaining is unreachable).  The
+        # bypass pushes stay unconditional: per-lane masked, they touch
+        # only (.., L) elements of the carry — a lax.cond here would
+        # route the full word buffer through a branch and risk a
+        # per-step copy, for pushes that were never the bottleneck
+        # (the row gather below was — now a flat 2-entry gather).
         n_byp = jnp.zeros_like(raw)
         for j in range(1, _MAX_BYPASS_CHUNKS + 1):
             n_byp = jnp.where(
                 (raw >> ((j - 1) * _BYPASS_BITS)) != 0, j, n_byp)
-        # push bypass chunks high-to-low, then the count, then the value
+        # push bypass chunks high-to-low, then the count, then the
+        # CDF-coded value (reverse of the decode read order)
         for j in reversed(range(_MAX_BYPASS_CHUNKS)):
             actj = is_max & (j < n_byp)
             chunk = (raw >> (j * _BYPASS_BITS)) & ((1 << _BYPASS_BITS) - 1)
@@ -252,10 +316,12 @@ def encode_segment(tables: dict, state, wptr, out_words, indexes, symbols,
                 state, out_words, wptr, actj, chunk, _BYPASS_BITS)
         state, out_words, wptr = _put_bits(
             state, out_words, wptr, is_max, n_byp, _BYPASS_BITS)
-        cdf = cdfs[idx]
-        start = jnp.take_along_axis(cdf, value[..., None], axis=-1)[..., 0]
-        nxt = jnp.take_along_axis(cdf, value[..., None] + 1,
-                                  axis=-1)[..., 0]
+        # direct flat gathers: the (row, value) pair addresses the two
+        # needed CDF entries — no (..., L, C) row gather (the row path
+        # made the encode scan gather-bound, round-5 ladder)
+        base = idx * cdfs.shape[-1] + value
+        start = cdfs_flat[base]
+        nxt = cdfs_flat[base + 1]
         state, out_words, wptr = _put_sym(
             state, out_words, wptr, act, start, nxt - start)
         return (state, wptr, out_words), None
@@ -372,17 +438,22 @@ def merge_tables(gauss: dict, z: dict) -> dict:
     }
 
 
-def pack_table_buffer(tables: dict) -> tuple:
+def pack_table_buffer(tables: dict, inverse: Optional[dict] = None) -> tuple:
     """Flatten merged tables into ONE int32 buffer (single runtime
-    argument) + the static layout needed to unpack inside jit."""
+    argument) + the static layout needed to unpack inside jit.
+    ``inverse`` (build_inverse of the Gaussian rows) rides in the same
+    buffer so the fast-path decode costs no extra argument."""
     rows, cols = tables["cdfs"].shape
-    buf = np.concatenate([
-        tables["cdfs"].reshape(-1),
-        tables["max_values"],
-        tables["offsets"],
-    ]).astype(np.int32)
+    parts = [tables["cdfs"].reshape(-1), tables["max_values"],
+             tables["offsets"]]
     layout = {"rows": rows, "cols": cols,
-              "z_row_offset": tables["z_row_offset"]}
+              "z_row_offset": tables["z_row_offset"],
+              "si_size": 0, "val_size": 0}
+    if inverse is not None:
+        parts += [inverse["si"], inverse["val"]]
+        layout["si_size"] = int(inverse["si"].size)
+        layout["val_size"] = int(inverse["val"].size)
+    buf = np.concatenate(parts).astype(np.int32)
     return buf, layout
 
 
@@ -390,9 +461,18 @@ def unpack_table_buffer(buf, layout: dict) -> dict:
     """jit-side inverse of ``pack_table_buffer`` (layout is static)."""
     rows, cols = layout["rows"], layout["cols"]
     n = rows * cols
-    return {
+    out = {
         "cdfs": buf[:n].reshape(rows, cols),
         "max_values": buf[n:n + rows],
         "offsets": buf[n + rows:n + 2 * rows],
         "z_row_offset": layout["z_row_offset"],
+        "inverse": None,
     }
+    if layout.get("si_size"):
+        o = n + 2 * rows
+        out["inverse"] = {
+            "si": buf[o:o + layout["si_size"]],
+            "val": buf[o + layout["si_size"]:
+                       o + layout["si_size"] + layout["val_size"]],
+        }
+    return out

@@ -54,6 +54,19 @@ from ..utils.flatparams import FlatParams
 
 _MAX_CODING_THREADS = 8
 
+_GAUSS_INV_CACHE: dict = {}
+
+
+def _gauss_inverse(gc) -> dict:
+    """build_inverse of the Gaussian scale table, cached per process
+    (the 64-row table is fixed by get_scale_table)."""
+    key = gc.quantized_cdfs.shape
+    hit = _GAUSS_INV_CACHE.get(key)
+    if hit is None:
+        hit = device_rans.build_inverse(gc.quantized_cdfs, gc.cdf_lengths)
+        _GAUSS_INV_CACHE[key] = hit
+    return hit
+
 
 def drive_chains(chains: Sequence) -> List:
     """Round-robin a set of decode-chain generators to completion and
@@ -216,7 +229,10 @@ class CodecIO:
                 t["quantized_cdfs"], t["cdf_lengths"], t["offsets"],
                 pad_cols=-(-zc // 64) * 64)
             merged = device_rans.merge_tables(g, z)
-            buf, layout = device_rans.pack_table_buffer(merged)
+            # dense inverse lookup for the Gaussian rows (the y decode's
+            # fast path); params-independent, so cached per scale table
+            buf, layout = device_rans.pack_table_buffer(
+                merged, inverse=_gauss_inverse(self.gc))
             self._lane_state = {
                 "merged": merged, "layout": layout,
                 "buf_dev": self._put(buf),
@@ -461,7 +477,8 @@ class CodecIO:
                         act_steps = jnp.broadcast_to(
                             jnp.asarray(act_np), (t_i, bsz, lanes))
                     syms, state, ptr = device_rans.decode_segment(
-                        tables, words, state, ptr, idx_steps, act_steps)
+                        tables, words, state, ptr, idx_steps, act_steps,
+                        inverse=tables["inverse"])
                     sym = device_rans.from_steps(syms, h * w * sw) \
                         .reshape(bsz, h, w, sw).astype(jnp.float32)
                     y = sym + mu

@@ -37,11 +37,13 @@ def _random_payload(rng, n, rows, extreme_every=53):
 
 
 def _device_decode(tables_np, words, lane_nwords, idx, seg_ends, lanes,
-                   alive=None):
+                   alive=None, inverse=None):
     """Drive decode_segment across segments exactly as CodecIO will."""
     flat_words, lane_base = dr.pack_streams([(words, lane_nwords)], lanes)
     words_d = jnp.asarray(flat_words.astype(np.int32))
     tables = {k: jnp.asarray(v) for k, v in tables_np.items()}
+    if inverse is not None:
+        inverse = {k: jnp.asarray(v) for k, v in inverse.items()}
     state, ptr = dr.init_lanes(words_d, jnp.asarray(lane_base[0]))
     outs = []
     start = 0
@@ -54,10 +56,31 @@ def _device_decode(tables_np, words, lane_nwords, idx, seg_ends, lanes,
         act_steps = dr.to_steps(
             jnp.asarray(seg_alive)[None], lanes, fill=False)[:, 0]
         syms, state, ptr = dr.decode_segment(
-            tables, words_d, state, ptr, idx_steps, act_steps)
+            tables, words_d, state, ptr, idx_steps, act_steps,
+            inverse=inverse)
         outs.append(np.asarray(dr.from_steps(syms[:, None], n))[0])
         start = end
     return np.concatenate(outs)
+
+
+@pytest.mark.parametrize("lanes", [8, 64])
+def test_inverse_table_fast_path_bit_exact(gauss_tables, lanes):
+    """The dense-inverse decode path (one gather instead of the row
+    search) reproduces the row-search path and the symbols exactly."""
+    cdfs, lens, offs = gauss_tables
+    rng = np.random.RandomState(lanes)
+    n = 2500
+    sym, idx = _random_payload(rng, n, cdfs.shape[0], extreme_every=17)
+    seg_ends = np.array([900, n], dtype=np.int64)
+    words, lnw = rans.encode_lanes(sym, idx, seg_ends, lanes, cdfs, lens,
+                                   offs)
+    tables = dr.pack_tables(cdfs, lens, offs)
+    inverse = dr.build_inverse(cdfs, lens)
+    slow = _device_decode(tables, words, lnw, idx, seg_ends, lanes)
+    fast = _device_decode(tables, words, lnw, idx, seg_ends, lanes,
+                          inverse=inverse)
+    np.testing.assert_array_equal(slow, sym)
+    np.testing.assert_array_equal(fast, sym)
 
 
 @pytest.mark.parametrize("lanes", [1, 5, 64, 128])
