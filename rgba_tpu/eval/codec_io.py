@@ -494,9 +494,14 @@ class CodecIO:
                 y_hat = jnp.concatenate(ys, axis=-1)
 
                 if kind == "rgb":
-                    md2, md3 = rest
+                    # the mask pyramid is built INSIDE this program from
+                    # the reconstructed alpha: one argument buffer + one
+                    # dispatch fewer than shipping md2/md3 separately
+                    # (the tunnel charges ~14 ms per argument buffer)
+                    (rm,) = rest
+                    md = mask_pyramid(rm)
                     x = m.decoder(y_hat.astype(m.policy.compute_dtype),
-                                  md2, md3)
+                                  md[1], md[2])
                 else:
                     x = m.decoder(y_hat.astype(m.policy.compute_dtype))
                 return jnp.clip(x.astype(jnp.float32), 0.0, 1.0), y_hat
@@ -508,7 +513,7 @@ class CodecIO:
             return self._lane_fns.setdefault(key, fn)
 
     def decompress_device(self, compressed: Sequence[dict],
-                          md=None, max_slices: Optional[int] = None,
+                          mask=None, max_slices: Optional[int] = None,
                           _return_latent: bool = False):
         """Decode lane-format (``stream_format="lanes32"``) blobs wholly
         on-device: ONE dispatch runs z decode, the channel-AR slice loop
@@ -517,7 +522,8 @@ class CodecIO:
         fetch — vs 11 index round trips for the host-coder chain
         (PERFORMANCE.md round-4 batch-1 ladder).
 
-        md: (md2, md3) mask-pyramid levels (rgb kind only).
+        mask: the reconstructed alpha, device-resident (rgb kind
+        only) — the mask pyramid is built inside the decode program.
         Returns the reconstruction as a DEVICE array (callers fetch or
         keep chaining); with _return_latent also the decoded y_hat."""
         if self.sharding is not None:
@@ -542,8 +548,9 @@ class CodecIO:
             gate = np.stack([c["gate"] for c in compressed])
             args.append(self._put(gate.astype(np.uint8)))
         if self.kind == "rgb":
-            assert md is not None, "rgb decompress_device needs md=(md2,md3)"
-            args.extend(md)
+            assert mask is not None, \
+                "rgb decompress_device needs mask=recon_alpha"
+            args.append(mask)
         x_hat, y_hat = self._lane_decode_fn(k, gated, zh, zw)(
             self._fp.flat, *args)
         return (x_hat, y_hat) if _return_latent else x_hat

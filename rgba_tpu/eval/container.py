@@ -388,11 +388,8 @@ class RGBAFileCodec:
             else:
                 recon_mask = self._jit(f"dec_base{(b, h, w, hp, wp)}",
                                        base_mask)()
-            from ..ops.mask_pyramid import mask_pyramid
-            md = self._jit("mask_pyr", lambda rm: mask_pyramid(rm))(
-                recon_mask)
             rgb = self.rgb_io.decompress_device(
-                [m["rgb"] for m in metas], md=(md[1], md[2]),
+                [m["rgb"] for m in metas], mask=recon_mask,
                 max_slices=max_slices)
             return self._finish(rgb, recon_mask, b, h, w, crop, output)
 

@@ -78,9 +78,8 @@ def test_lane_latent_matches_chain_latent(codec):
                                      stream_format="lanes32")
     _, y64 = c.rgb_io.decompress_batch_with_latent(
         comp64, mask=d["alpha"], device=True)
-    md = mask_pyramid(jnp.asarray(d["alpha"]))
-    _, y32 = c.rgb_io.decompress_device(comp32, md=(md[1], md[2]),
-                                        _return_latent=True)
+    _, y32 = c.rgb_io.decompress_device(
+        comp32, mask=jnp.asarray(d["alpha"]), _return_latent=True)
     err = float(jnp.max(jnp.abs(y64 - y32)))
     assert err < 1e-4, err
 

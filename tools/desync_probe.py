@@ -137,8 +137,7 @@ def main():
     # ---- lane-format path on the same content
     comp32 = rgb_io.compress_batch(image=masked, mask=rm,
                                    stream_format="lanes32")
-    md = mask_pyramid(rm)
-    _, y32 = rgb_io.decompress_device(comp32, md=(md[1], md[2]),
+    _, y32 = rgb_io.decompress_device(comp32, mask=rm,
                                       _return_latent=True)
     y64 = jnp.concatenate(y_hats, axis=-1)
     lane_err = float(jnp.max(jnp.abs(y32 - y64)))
