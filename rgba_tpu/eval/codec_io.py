@@ -1156,7 +1156,14 @@ class CodecIO:
         doubled per-sync tunnel fee on size-1 sub-chains that was never
         measured (ADVICE r4)."""
         batch = len(compressed)
-        if interleave is None:
+        if self.sharding is not None:
+            # batch-sharded serving: every sub-chain's uploads land
+            # across the mesh, so sub-batches must divide the data
+            # axis — and whole-batch SPMD is the point of the mesh.
+            # (Latent round-4 bug: auto G=2 split batch 8 into 4s on an
+            # 8-device mesh -> device_put divisibility error.)
+            interleave = 1
+        elif interleave is None:
             interleave = 2 if batch in (4, 6, 8) else 1
         groups = [slice(0, batch)]
         if interleave > 1 and batch >= 2:

@@ -53,7 +53,13 @@ from rgba_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, \
 from rgba_tpu.train.loops import MaskTrainer, RGBTrainer
 
 LAMBDAS = (256, 1024, 4096)
-DATA_N = 128  # distinct synthetic images kept device-resident
+# distinct synthetic images kept device-resident.  128 was enough for
+# short proofs but memorizes badly at extension budgets: 20k steps x
+# batch 16 over 128 images = 2500 epochs — the round-5 pass-2 rgb_256
+# point measured eval bpp 0.38 -> 1.00 and PSNR 31.8 -> 27.3 vs its 6k
+# checkpoint.  512 images (~0.9 GB device-resident for the RGB keys)
+# cuts that 4x; real training uses the COCO+P3M loaders instead.
+DATA_N = 512
 CKPT_EVERY = 1000
 
 
