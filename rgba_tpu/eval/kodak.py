@@ -238,11 +238,15 @@ def evaluate_kodak(rgb_model, rgb_params, mask_model, mask_params,
             # tail-parallel == lane decode, yet |dec - fwd| up to 0.77
             # on one image) — psnr_real is the check that cannot lie
             # about delivered quality.
-            vis = np.asarray(item["alpha"][None] > 0, np.float32)
-            n_vis = max(float(vis.sum()) * 3.0, 1.0)
-            mse_real = float(
-                (((rgba[..., :3] - item["image"][None]) * vis) ** 2).sum()
-                / n_vis)
+            # premultiplied-composite PSNR over the full frame: what a
+            # viewer sees over a black background — charges BOTH rgb
+            # and alpha errors in display-relevant form, and does not
+            # over-penalize rgb at pixels the decoded alpha correctly
+            # hides (compositing zeroes them)
+            gt = item["image"][None] * np.asarray(item["alpha"][None],
+                                                 np.float32)
+            dec = rgba[..., :3] * rgba[..., 3:]
+            mse_real = float(((dec - gt) ** 2).mean())
             psnr_real = 10 * np.log10(1.0 / max(mse_real, 1e-12))
             if bool(np.all(item["alpha"] == 1.0)):
                 # opaque: container stores no mask stream and decodes an
