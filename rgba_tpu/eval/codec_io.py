@@ -865,11 +865,13 @@ class CodecIO:
         ``lanes`` interleaved 32-bit rANS lanes): decompress_device
         then decodes the whole AR chain on-chip in one dispatch.  Costs
         ~4 flush bytes per lane (~+1-2 %% rate at Kodak sizes);
-        bit-exact symbols either way.  Lane-format encode runs WHOLLY
-        on-device by default (reverse-scan rANS, device_encode=True):
-        only the emitted words cross to the host; a lane overflowing
-        the static word budget (pathological rates) falls back to the
-        host coder transparently, byte-identical either way."""
+        bit-exact symbols either way.  Lane-format encode defaults to
+        the C++ host coder (measured faster under this environment's
+        tunnel at batches 1-8: the device reverse-scan's per-push
+        scatter overhead outweighs the ~30 MB symbol-fetch saving —
+        PERFORMANCE.md round-5 ladder v2); RGBA_TPU_DEVICE_ENCODE=1
+        switches to the on-device encoder (byte-identical streams,
+        word-budget overflow falls back to host transparently)."""
         rg = self.rate_gate if rate_gate is None else (
             bool(rate_gate) and self.kind == "rgb")
         dzd = float(deadzone) > 0.0
@@ -893,7 +895,7 @@ class CodecIO:
             batch = mask.shape[0]
 
         if stream_format == "lanes32" and os.environ.get(
-                "RGBA_TPU_DEVICE_ENCODE", "1") == "1":
+                "RGBA_TPU_DEVICE_ENCODE", "0") == "1":
             out = self._lane_compress_device(pre, args, gate_host, rg,
                                              dzd, lanes)
             if out is not None:
