@@ -228,6 +228,17 @@ def main():
                     (p["real_bpp"] - p["bpp"]) / p["real_bpp"] * 100, 3)
             qual["points"][name] = row
         qpath = os.path.join(outdir, "QUALITY.json")
+        # preserve hand-curated sections (multi-pass history, metric
+        # notes) across regenerations
+        if os.path.exists(qpath):
+            try:
+                with open(qpath) as f:
+                    prev = json.load(f)
+                for k in ("history", "notes"):
+                    if k in prev:
+                        qual[k] = prev[k]
+            except (OSError, ValueError):
+                pass
         with open(qpath + ".tmp", "w") as f:
             json.dump(qual, f, indent=2)
         os.replace(qpath + ".tmp", qpath)
